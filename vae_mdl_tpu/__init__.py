@@ -1,0 +1,44 @@
+"""vae_mdl_tpu — a TPU-native JAX framework with the capabilities of nbip/vae-mdl.
+
+The reference (mounted read-only at /root/reference) is a TF2 + TFP research
+codebase: a ladder of six IWAE models that swap the observation likelihood
+(Bernoulli -> Gaussian -> discretized logistic -> mixture of discretized
+logistics) and the latent depth (1 -> 2 stochastic layers), trained on
+MNIST/SVHN and evaluated with a 5000-importance-sample log-likelihood.
+
+This framework re-designs that capability surface TPU-first:
+
+- explicit event-axes distributions (no ``axes`` monkey-patching,
+  cf. reference models/loss.py:9-23),
+- ``vmap``/broadcast over importance samples (no rank-5 reshape tricks,
+  cf. reference modules/enc.py:8-27),
+- jitted functional train steps with on-device preprocessing,
+- data-parallel + importance-sample-parallel execution over a
+  ``jax.sharding.Mesh``,
+- optional fused Pallas kernels for the discretized-logistic likelihoods.
+"""
+
+__version__ = "0.1.0"
+
+from vae_mdl_tpu.distributions import (
+    Bernoulli,
+    DiscretizedLogistic,
+    DistributionTuple,
+    Logistic,
+    MixtureDiscretizedLogistic,
+    Normal,
+    PixelMixtureDiscretizedLogistic,
+)
+from vae_mdl_tpu.ops.math import logmeanexp
+
+__all__ = [
+    "Bernoulli",
+    "DiscretizedLogistic",
+    "DistributionTuple",
+    "Logistic",
+    "MixtureDiscretizedLogistic",
+    "Normal",
+    "PixelMixtureDiscretizedLogistic",
+    "logmeanexp",
+    "__version__",
+]

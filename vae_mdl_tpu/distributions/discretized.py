@@ -1,0 +1,113 @@
+"""Discretized logistic likelihood.
+
+Bins a logistic density into ``levels`` discrete values covering
+``[low, high]``; the probability of a bin is the CDF difference over the bin,
+with edge bins absorbing the full tail mass and a PDF*width approximation when
+the CDF difference underflows.
+
+Numerics parity: /root/reference/utils/discretized_logistic.py:35-78, which in
+turn follows OpenAI PixelCNN++ (pixel_cnn_pp/nn.py). All math is float32; the
+``jnp.where`` cascades keep both branches finite so gradients are NaN-free
+(the 1e-12 clamp exists for exactly that reason, reference :49-51).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vae_mdl_tpu.distributions.base import Distribution
+from vae_mdl_tpu.distributions.continuous import Logistic
+
+
+def discretized_logistic_log_prob(
+    x: jax.Array,
+    loc: jax.Array,
+    logscale: jax.Array,
+    *,
+    low: float = -1.0,
+    high: float = 1.0,
+    interval_width: float | None = None,
+    levels: float = 256.0,
+) -> jax.Array:
+    """Elementwise log P(bin containing x) under a discretized logistic.
+
+    This free function is the single numerical source of truth: the
+    ``DiscretizedLogistic`` distribution, both mixture variants and the Pallas
+    kernel oracle all call it. Hot path on TPU: pure VPU elementwise work that
+    XLA fuses with the surrounding loss.
+    """
+    if interval_width is None:
+        interval_width = (high - low) / (levels - 1.0)
+    dx = interval_width / 2.0
+
+    centered = x - loc
+    inv_std = jnp.exp(-logscale)
+
+    interval_start = (centered - dx) * inv_std
+    interval_stop = (centered + dx) * inv_std
+
+    # true bin probability from the CDF difference, clamped so log() and the
+    # unselected-branch gradients stay finite
+    prob = jax.nn.sigmoid(interval_stop) - jax.nn.sigmoid(interval_start)
+    prob = jnp.maximum(prob, 1e-12)
+
+    # edge bins absorb the full tails:
+    #   left:  log CDF(stop)      = stop - softplus(stop)
+    #   right: log (1-CDF(start)) = -softplus(start)
+    left_edge = interval_stop - jax.nn.softplus(interval_stop)
+    right_edge = -jax.nn.softplus(interval_start)
+
+    # pdf * width approximation when the CDF difference underflows
+    a = centered * inv_std
+    log_prob_approx = (
+        -a - logscale - 2.0 * jax.nn.softplus(-a) + jnp.log(jnp.float32(interval_width))
+    )
+
+    safe_log_prob = jnp.where(prob > 1e-5, jnp.log(prob), log_prob_approx)
+    safe_log_prob = jnp.where(x <= low, left_edge, safe_log_prob)
+    safe_log_prob = jnp.where(x >= high, right_edge, safe_log_prob)
+    return safe_log_prob
+
+
+@struct.dataclass
+class DiscretizedLogistic(Distribution):
+    """Parity: /root/reference/utils/discretized_logistic.py.
+
+    ``low``/``high``/``levels`` are static so shape-/constant-folding stays
+    inside one compiled executable.
+    """
+
+    loc: jax.Array
+    logscale: jax.Array
+    low: float = struct.field(pytree_node=False, default=-1.0)
+    high: float = struct.field(pytree_node=False, default=1.0)
+    levels: float = struct.field(pytree_node=False, default=256.0)
+    event_axes: Tuple[int, ...] = struct.field(pytree_node=False, default=(-1, -2, -3))
+
+    @property
+    def interval_width(self) -> float:
+        return (self.high - self.low) / (self.levels - 1.0)
+
+    def log_prob(self, x: jax.Array) -> jax.Array:
+        return discretized_logistic_log_prob(
+            x,
+            self.loc,
+            self.logscale,
+            low=self.low,
+            high=self.high,
+            interval_width=self.interval_width,
+        )
+
+    def sample(self, key: jax.Array, sample_shape: Tuple[int, ...] = ()) -> jax.Array:
+        # clipped continuous logistic sample (reference :80-85); note the
+        # result is NOT binned, exactly like the reference
+        s = Logistic(self.loc, jnp.exp(self.logscale)).sample(key, sample_shape)
+        return jnp.clip(s, self.low, self.high)
+
+    def mean(self) -> jax.Array:
+        return jnp.broadcast_to(
+            self.loc, jnp.broadcast_shapes(jnp.shape(self.loc), jnp.shape(self.logscale))
+        )
