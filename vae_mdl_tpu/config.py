@@ -1,0 +1,125 @@
+"""Dataclass config system.
+
+The reference has no config system at all: every hyperparameter is a
+hardcoded constant inside one of six ~300-line model files, and variants are
+expressed by commenting code in/out (SURVEY.md §5). Here the entire ladder is
+data: :class:`ExperimentConfig` fully describes architecture, objective, data
+and training; ``models/zoo.py`` defines model01..model06 as named configs.
+
+Everything is a frozen dataclass of hashable values, so configs can be
+closed over by jitted functions and used as static arguments.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# (features, kernel, stride, transpose, activation)
+ConvLayer = Tuple[int, int, int, bool, str]
+
+
+def conv(features: int, kernel: int, stride: int, activation: str = "relu") -> ConvLayer:
+    return (features, kernel, stride, False, activation)
+
+
+def deconv(features: int, kernel: int, stride: int, activation: str = "relu") -> ConvLayer:
+    return (features, kernel, stride, True, activation)
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    kind: str = "conv"  # "mlp" | "conv"
+    # mlp
+    n_hidden: int = 200
+    activation: str = "tanh"
+    std_transform: str = "exp"
+    # conv
+    conv_layers: Tuple[ConvLayer, ...] = ()
+    n_glu: int = 0
+    glu_features: int = 64
+    glu_activation: str = "relu"
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    kind: str = "conv"  # "mlp" | "conv"
+    # mlp
+    n_hidden: int = 200
+    activation: str = "tanh"
+    # conv
+    base_size: Tuple[int, int, int] = (4, 4, 128)
+    pre_layers: Tuple[ConvLayer, ...] = ()
+    conv_layers: Tuple[ConvLayer, ...] = ()
+    n_glu: int = 0
+    glu_features: int = 64
+    glu_activation: str = "relu"
+    fc_activation: str = "relu"
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    name: str = "model01"
+    image_shape: Tuple[int, int, int] = (28, 28, 1)
+    n_latent: int = 100
+    n_samples: int = 5  # importance samples k during training
+    likelihood: str = "bernoulli"  # bernoulli | gaussian | dl | mdl
+    bound_logstd: bool = False  # the reference's commented-out tanh(logstd)
+    n_mix: int = 5
+    # stochastic depth: 1 = models 01-05; 2 = model06; >2 supported generically
+    n_stochastic: int = 1
+    # latent sizes per stochastic layer beyond the first (top layers are MLPs)
+    mlp_hidden: int = 100
+    mlp_activation: str = "gelu"
+    latent_sizes: Tuple[int, ...] = ()  # defaults to (n_latent,) * n_stochastic
+    encoder: EncoderConfig = EncoderConfig()
+    decoder: DecoderConfig = DecoderConfig()
+    compute_dtype: str = "float32"  # "bfloat16" for the conv/matmul body
+
+    def latents(self) -> Tuple[int, ...]:
+        return self.latent_sizes or (self.n_latent,) * self.n_stochastic
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "mnist"  # mnist | svhn_cropped | cifar10 | celeba | synthetic
+    data_dir: Optional[str] = None
+    batch_size: int = 128  # parity: /root/reference/utils/data.py:20
+    val_batch_size: int = 500
+    dynamic_binarization: bool = True  # mnist only (model01.py:31-33)
+    seed: int = 42
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    n_updates: int = 1_000_000
+    eval_interval: int = 1000
+    learning_rate: float = 1e-3
+    # staircase: lr * 10^(-step/(2^7*7000)) at steps 2^i*7000, i<8
+    # (parity: /root/reference/models/model01.py:143-149)
+    lr_staircase: bool = True
+    lr_staircase_base: int = 7000
+    lr_staircase_levels: int = 8
+    optimizer: str = "adam"  # "adamax" is the reference's commented alternative
+    seed: int = 0
+    checkpoint_dir: str = "./saved_models"
+    log_dir: str = "/tmp/tensorboard"
+    resume: bool = True  # auto-resume from the latest full-state checkpoint
+    n_eval_samples: int = 5000  # importance samples for the final eval
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. ``data`` shards the batch, ``sample`` shards the
+    importance-sample axis (the workload's one novel parallel axis,
+    SURVEY.md §2.3)."""
+
+    data: int = -1  # -1: all devices on the data axis
+    sample: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    model: ModelConfig = ModelConfig()
+    data: DataConfig = DataConfig()
+    train: TrainConfig = TrainConfig()
+    mesh: MeshConfig = MeshConfig()

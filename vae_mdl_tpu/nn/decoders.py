@@ -1,0 +1,156 @@
+"""Decoder networks: observation model p(x | z) with pluggable likelihood head.
+
+Parity targets:
+- ``MLPDecoder``  — /root/reference/models/model01.py:102-118 (Dense tanh x2 ->
+  Dense(784) -> Bernoulli logits)
+- ``ConvDecoder`` — model02.py:57-96 (Dense -> reshape base -> deconv
+  128/64/32 -> conv head), model04.py:53-93 (GLU variant, 63-channel base at
+  /4 resolution), model05.py:55-92 (MoDL head, n_mix*10 channels),
+  model06.py:135-167 (gelu + DiscretizedLogistic head).
+
+Likelihood heads (selected by ``likelihood``):
+  "bernoulli" : logits -> Bernoulli                 (model01)
+  "gaussian"  : (mu, logstd) -> Normal(mu, exp)     (model02)
+  "dl"        : (mu, logstd) -> DiscretizedLogistic (model03/04/06)
+  "mdl"       : n_mix*10 params -> MixtureDiscretizedLogistic (model05)
+
+``bound_logstd`` applies tanh to logstd — the variant every reference conv
+model carries as commented-out code (model02.py:93-94, model03.py:94-97,
+model04.py:86-90, model06.py:164-165); here it is a config flag.
+
+All heads emit float32 parameters; the conv/matmul body may run in bf16.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vae_mdl_tpu.distributions import (
+    Bernoulli,
+    DiscretizedLogistic,
+    MixtureDiscretizedLogistic,
+    Normal,
+)
+from vae_mdl_tpu.nn.blocks import _KERNEL_INIT, _activation, merge_leading
+from vae_mdl_tpu.nn.encoders import ConvSpec, apply_conv_stack
+
+Dtype = Any
+
+Obs = Union[Bernoulli, Normal, DiscretizedLogistic, MixtureDiscretizedLogistic]
+
+_IMAGE_AXES = (-1, -2, -3)
+
+
+def make_observation(
+    out: jax.Array, likelihood: str, bound_logstd: bool = False
+) -> Obs:
+    """Turn raw head output into the configured observation distribution."""
+    out = out.astype(jnp.float32)
+    if likelihood == "bernoulli":
+        return Bernoulli(out, event_axes=_IMAGE_AXES)
+    if likelihood == "gaussian":
+        mu, logstd = jnp.split(out, 2, axis=-1)
+        if bound_logstd:
+            logstd = jnp.tanh(logstd)
+        return Normal(mu, jnp.exp(logstd), event_axes=_IMAGE_AXES)
+    if likelihood == "dl":
+        mu, logstd = jnp.split(out, 2, axis=-1)
+        if bound_logstd:
+            logstd = jnp.tanh(logstd)
+        return DiscretizedLogistic(
+            mu, logstd, low=0.0, high=1.0, levels=256.0, event_axes=_IMAGE_AXES
+        )
+    if likelihood == "mdl":
+        return MixtureDiscretizedLogistic(out, event_axes=_IMAGE_AXES)
+    raise ValueError(f"unknown likelihood {likelihood!r}")
+
+
+def head_channels(likelihood: str, out_channels: int, n_mix: int) -> int:
+    return {
+        "bernoulli": out_channels,
+        "gaussian": 2 * out_channels,
+        "dl": 2 * out_channels,
+        "mdl": n_mix * 10,
+    }[likelihood]
+
+
+class MLPDecoder(nn.Module):
+    """Dense stack -> reshape to image -> likelihood head (Bernoulli default)."""
+
+    out_shape: Tuple[int, int, int] = (28, 28, 1)
+    n_hidden: int = 200
+    activation: str = "tanh"
+    likelihood: str = "bernoulli"
+    bound_logstd: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> Obs:
+        act = _activation(self.activation)
+        h, w, c = self.out_shape
+        n_out = h * w * head_channels(self.likelihood, c, 0)
+        x = act(nn.Dense(self.n_hidden, dtype=self.dtype, kernel_init=_KERNEL_INIT)(z))
+        x = act(nn.Dense(self.n_hidden, dtype=self.dtype, kernel_init=_KERNEL_INIT)(x))
+        # output layer in f32; its bias is the canvas-mean init target
+        # (/root/reference/models/model01.py:294-301 -> train.state.init_output_bias)
+        out = nn.Dense(n_out, dtype=jnp.float32, kernel_init=_KERNEL_INIT,
+                       name="out")(x.astype(jnp.float32))
+        img_c = head_channels(self.likelihood, c, 0)
+        out = out.reshape(z.shape[:-1] + (h, w, img_c))
+        return make_observation(out, self.likelihood, self.bound_logstd)
+
+
+class ConvDecoder(nn.Module):
+    """Dense -> reshape to base grid -> (conv+GLU) stack -> deconvs -> head.
+
+    ``base_size = (H/2^u, W/2^u, base_features)`` where u is the number of
+    stride-2 layers in ``conv_specs`` (the reference hardcodes these,
+    e.g. model02.py:64, model04.py:62).
+    """
+
+    conv_specs: Tuple[ConvSpec, ...]
+    base_size: Tuple[int, int, int] = (4, 4, 128)
+    out_shape: Tuple[int, int, int] = (32, 32, 3)
+    pre_specs: Tuple[ConvSpec, ...] = ()  # convs before the GLU stack (model04)
+    n_glu: int = 0
+    glu_features: int = 64
+    glu_activation: str = "relu"
+    fc_activation: str = "relu"
+    likelihood: str = "gaussian"
+    n_mix: int = 5
+    bound_logstd: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> Obs:
+        act = _activation(self.fc_activation)
+        h = act(
+            nn.Dense(math.prod(self.base_size), dtype=self.dtype,
+                     kernel_init=_KERNEL_INIT)(z)
+        )
+        h = h.reshape(z.shape[:-1] + tuple(self.base_size))
+        merged, unmerge = merge_leading(h)
+
+        if self.pre_specs:
+            merged = apply_conv_stack(self.pre_specs, merged, self.dtype,
+                                      prefix="pre")
+
+        from vae_mdl_tpu.nn.blocks import GLU
+
+        for i in range(self.n_glu):
+            merged = GLU(self.glu_features, self.glu_activation, self.dtype,
+                         name=f"glu_{i}")(merged)
+
+        out = apply_conv_stack(self.conv_specs, merged, self.dtype)
+
+        n_head = head_channels(self.likelihood, self.out_shape[-1], self.n_mix)
+        if out.shape[-1] != n_head:
+            out = nn.Conv(n_head, (3, 3), padding="SAME", dtype=jnp.float32,
+                          kernel_init=_KERNEL_INIT, name="head")(
+                out.astype(jnp.float32))
+        out = unmerge(out)
+        return make_observation(out, self.likelihood, self.bound_logstd)
