@@ -1,0 +1,101 @@
+"""Model zoo tests: every reference model config builds, runs forward,
+computes a finite bound, and generates samples of the right shape.
+
+This replaces the reference's eyeball-driven ``__main__`` smoke tests
+(SURVEY.md §4) with assertions.
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vae_mdl_tpu.models import MODELS, build_model, compute_loss
+from vae_mdl_tpu.models.objective import log_weights
+from vae_mdl_tpu.models.vae import prior_for
+
+B, K = 2, 3
+
+
+def _forward(name):
+    cfg = MODELS[name]
+    model = build_model(cfg)
+    h, w, c = cfg.image_shape
+    x = jax.random.uniform(jax.random.PRNGKey(9), (B, h, w, c))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, 1
+    )
+    Qs, Ps, pxz = model.apply(params, x, K, rngs={"sample": jax.random.PRNGKey(2)})
+    return cfg, model, params, x, Qs, Ps, pxz
+
+
+@pytest.mark.parametrize("name", sorted(MODELS))
+def test_forward_and_loss(name):
+    cfg, model, params, x, Qs, Ps, pxz = _forward(name)
+    latents = cfg.latents()
+
+    assert len(Qs) == cfg.n_stochastic
+    assert Qs[0].z.shape == (K, B, latents[0])
+    for i, q in enumerate(Qs):
+        assert q.z.shape[-1] == latents[i]
+    assert pxz.z.shape == (K, B) + cfg.image_shape
+
+    prior = prior_for(cfg)
+    loss, metrics = compute_loss(prior, Qs, Ps, pxz, x)
+    assert jnp.isfinite(loss)
+    assert jnp.isfinite(metrics["bpd"])
+    # log-weights agree with the loss: -logmeanexp(log_w).mean() == loss
+    from vae_mdl_tpu.ops.math import logmeanexp
+
+    lw = log_weights(prior, Qs, Ps, pxz, x)
+    assert lw.shape == (K, B)
+    recon = -jnp.mean(logmeanexp(lw, axis=0))
+    assert jnp.allclose(recon, loss, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("name", ["model01", "model05", "model06"])
+def test_generate(name):
+    cfg, model, params, x, Qs, Ps, pxz = _forward(name)
+    n_top = cfg.latents()[-1]
+    z_top = jax.random.normal(jax.random.PRNGKey(5), (B, n_top))
+    gen = model.apply(
+        params, z_top, rngs={"sample": jax.random.PRNGKey(6)}, method="generate"
+    )
+    assert gen.sample.shape == (B,) + cfg.image_shape
+    assert jnp.isfinite(gen.sample).all()
+
+
+def test_model06_metrics_have_per_layer_kls():
+    cfg, model, params, x, Qs, Ps, pxz = _forward("model06")
+    loss, metrics = compute_loss(prior_for(cfg), Qs, Ps, pxz, x)
+    assert "kl1" in metrics and "kl2" in metrics
+
+
+def test_deeper_than_two_layers():
+    """The generic ladder: 3 stochastic layers via config only."""
+    import dataclasses
+
+    cfg = dataclasses.replace(MODELS["model06"], n_stochastic=3, name="deep")
+    model = build_model(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (B, 32, 32, 3))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, 1
+    )
+    Qs, Ps, pxz = model.apply(params, x, K, rngs={"sample": jax.random.PRNGKey(2)})
+    assert len(Qs) == 3 and len(Ps) == 2
+    loss, metrics = compute_loss(prior_for(cfg), Qs, Ps, pxz, x)
+    assert jnp.isfinite(loss)
+
+
+def test_bound_logstd_flag():
+    """The reference's commented-out tanh(logstd) variant as a config flag."""
+    import dataclasses
+
+    cfg = dataclasses.replace(MODELS["model03"], bound_logstd=True)
+    model = build_model(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (B, 32, 32, 3))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, 1
+    )
+    Qs, Ps, pxz = model.apply(params, x, K, rngs={"sample": jax.random.PRNGKey(2)})
+    # tanh bounds logscale to [-1, 1] => scale of the DL in [e^-1, e]
+    assert jnp.all(pxz.dist.logscale <= 1.0 + 1e-6)
+    assert jnp.all(pxz.dist.logscale >= -1.0 - 1e-6)

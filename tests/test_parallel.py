@@ -1,0 +1,104 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest.py) —
+SURVEY.md §4's answer to 'test multi-node without a cluster'."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_mdl_tpu.config import DataConfig, MeshConfig
+from vae_mdl_tpu.models.vae import build_model
+from vae_mdl_tpu.models.zoo import experiment
+from vae_mdl_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    shard_batch,
+    shard_state,
+)
+from vae_mdl_tpu.train.state import create_train_state, make_optimizer
+from vae_mdl_tpu.train.steps import make_train_step
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh"
+)
+
+
+def _cfg():
+    cfg = experiment("model01")
+    return dataclasses.replace(
+        cfg, data=DataConfig(dataset="synthetic:mnist", batch_size=16)
+    )
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(MeshConfig(data=4, sample=2))
+    assert mesh.shape == {"data": 4, "sample": 2}
+    mesh1 = make_mesh(MeshConfig())  # all devices on data
+    assert mesh1.shape["data"] == len(jax.devices())
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(data=3, sample=2))
+
+
+def test_data_parallel_step_matches_single_device():
+    """The sharded train step computes the same update as unsharded."""
+    cfg = _cfg()
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x_f32 = jnp.zeros((16, 28, 28, 1))
+    state = create_train_state(model, cfg.train, x_f32, cfg.model.n_samples)
+    step = make_train_step(model, cfg, tx, donate=False)
+
+    batch = np.random.default_rng(0).integers(
+        0, 256, (16, 28, 28, 1), dtype=np.uint8
+    )
+
+    # single device
+    s1, m1 = step(state, jnp.asarray(batch))
+
+    # 8-way data parallel
+    mesh = make_mesh(MeshConfig(data=8, sample=1))
+    state_r = shard_state(mesh, state)
+    s2, m2 = step(state_r, shard_batch(mesh, batch))
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    leaf1 = jax.tree.leaves(s1.params)[0]
+    leaf2 = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(leaf1), np.asarray(leaf2),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sample_sharded_eval_matches_unsharded():
+    cfg = _cfg()
+    model = build_model(cfg.model)
+    x_f32 = jnp.zeros((8, 28, 28, 1))
+    state = create_train_state(model, cfg.train, x_f32, 1)
+
+    from vae_mdl_tpu.evaluation.harness import make_batch_evaluator
+
+    batch = np.random.default_rng(1).integers(
+        0, 256, (8, 28, 28, 1), dtype=np.uint8
+    )
+    ev_plain = make_batch_evaluator(model, cfg, n_samples=16, k_chunk=8)
+    llh_plain = ev_plain(state.params, jnp.asarray(batch), jax.random.PRNGKey(0))
+
+    mesh = make_mesh(MeshConfig(data=2, sample=4))
+    ev_mesh = make_batch_evaluator(model, cfg, n_samples=16, k_chunk=8, mesh=mesh)
+    llh_mesh = ev_mesh(
+        state.params, shard_batch(mesh, batch), jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(llh_plain), np.asarray(llh_mesh), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_graft_entry_dryrun():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import dryrun_multichip, entry
+
+    fn, args = entry()
+    loss = jax.jit(fn)(*args)
+    assert jnp.isfinite(loss)
+    dryrun_multichip(8)

@@ -1,0 +1,112 @@
+"""Trainer tests: schedule parity, loss decrease, full-state resume, bias init.
+
+The 200-step loss-decrease test is SURVEY.md §4's recommendation (d); the
+reference has no automated equivalent.
+"""
+import dataclasses
+import math
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_mdl_tpu.config import DataConfig, TrainConfig
+from vae_mdl_tpu.models.zoo import experiment
+from vae_mdl_tpu.train.schedule import staircase_schedule
+from vae_mdl_tpu.train.state import create_train_state, init_output_bias, make_optimizer
+from vae_mdl_tpu.train.trainer import Trainer
+
+
+def test_staircase_schedule_parity():
+    """lr = 1e-3 * 10^(-m/896000) with m the last milestone passed
+    (/root/reference/models/model01.py:143-149)."""
+    sched = staircase_schedule(1e-3, 7000, 8)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(6999)) == pytest.approx(1e-3)
+    for i in range(8):
+        m = 2 ** i * 7000
+        expected = 1e-3 * 10 ** (-m / (2 ** 7 * 7000))
+        assert float(sched(m)) == pytest.approx(expected, rel=1e-5)
+        if i < 7:
+            # constant until the next milestone
+            assert float(sched(2 ** (i + 1) * 7000 - 1)) == pytest.approx(
+                expected, rel=1e-5
+            )
+    # final decade: one order of magnitude below base
+    assert float(sched(10_000_000)) == pytest.approx(1e-4, rel=1e-5)
+
+
+def _tiny_cfg(tmp, n_updates=40, eval_interval=20):
+    cfg = experiment("model01")
+    return dataclasses.replace(
+        cfg,
+        data=DataConfig(dataset="synthetic:mnist", batch_size=16, val_batch_size=32),
+        train=TrainConfig(
+            n_updates=n_updates,
+            eval_interval=eval_interval,
+            checkpoint_dir=tmp + "/ckpt",
+            log_dir=tmp + "/tb",
+        ),
+    )
+
+
+def test_training_reduces_loss_and_resumes():
+    tmp = tempfile.mkdtemp()
+    cfg = _tiny_cfg(tmp)
+    tr = Trainer(cfg)
+
+    from vae_mdl_tpu.train.steps import make_eval_step
+
+    eval_step = make_eval_step(tr.model, cfg)
+    batch = jnp.asarray(next(tr.val_iter))
+    loss_before = float(eval_step(tr.state, batch)["loss"])
+
+    state = tr.fit(progress=False)
+    loss_after = float(eval_step(state, batch)["loss"])
+    assert loss_after < loss_before
+    assert int(state.step) == cfg.train.n_updates
+
+    # full-state auto-resume: step, params and optimizer state round-trip
+    tr2 = Trainer(cfg)
+    assert int(tr2.state.step) == cfg.train.n_updates
+    restored_loss = float(eval_step(tr2.state, batch)["loss"])
+    assert restored_loss == pytest.approx(loss_after, rel=1e-5)
+
+
+def test_init_output_bias():
+    """Decoder bias init from train-mean logits
+    (/root/reference/models/model01.py:294-301)."""
+    cfg = experiment("model01")
+    from vae_mdl_tpu.models.vae import build_model
+
+    model = build_model(cfg.model)
+    x = jnp.zeros((2, 28, 28, 1))
+    state = create_train_state(model, cfg.train, x, 1)
+
+    mean_img = jnp.full((28, 28, 1), 0.7)
+    state2 = init_output_bias(state, mean_img)
+
+    # decode the zero latent: output logits should be sigmoid^-1(0.7)-ish
+    # exactly at the bias when weights map z=0 -> 0 contribution from h...
+    # instead check the bias leaf directly
+    bias = state2.params["params"]["decoder"]["out"]["bias"]
+    expected = math.log(0.7 / 0.3)
+    assert np.allclose(np.asarray(bias), expected, atol=1e-5)
+
+
+def test_determinism_same_seed_same_loss():
+    """Same seed -> identical metrics (the TF-RNG bug class the reference
+    debugged for 529 lines, tests/dataloader_issue.py, is structural here)."""
+    tmp1, tmp2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    losses = []
+    for tmp in (tmp1, tmp2):
+        cfg = _tiny_cfg(tmp, n_updates=5, eval_interval=100)
+        tr = Trainer(cfg)
+        state = tr.fit(progress=False)
+        from vae_mdl_tpu.train.steps import make_eval_step
+
+        batch = jnp.asarray(next(tr.val_iter))
+        losses.append(float(make_eval_step(tr.model, cfg)(state, batch)["loss"]))
+    assert losses[0] == losses[1]

@@ -74,6 +74,7 @@ class ModelConfig:
     encoder: EncoderConfig = EncoderConfig()
     decoder: DecoderConfig = DecoderConfig()
     compute_dtype: str = "float32"  # "bfloat16" for the conv/matmul body
+    use_pallas: bool = False  # fused Pallas likelihood kernels (dl/mdl)
 
     def latents(self) -> Tuple[int, ...]:
         return self.latent_sizes or (self.n_latent,) * self.n_stochastic

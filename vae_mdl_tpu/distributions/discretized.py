@@ -86,12 +86,20 @@ class DiscretizedLogistic(Distribution):
     high: float = struct.field(pytree_node=False, default=1.0)
     levels: float = struct.field(pytree_node=False, default=256.0)
     event_axes: Tuple[int, ...] = struct.field(pytree_node=False, default=(-1, -2, -3))
+    use_pallas: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def interval_width(self) -> float:
         return (self.high - self.low) / (self.levels - 1.0)
 
     def log_prob(self, x: jax.Array) -> jax.Array:
+        if self.use_pallas:
+            from vae_mdl_tpu.ops.pallas.dl_kernel import dl_log_prob
+
+            return dl_log_prob(
+                x, self.loc, self.logscale, self.low, self.high,
+                self.interval_width,
+            )
         return discretized_logistic_log_prob(
             x,
             self.loc,

@@ -111,6 +111,7 @@ class MixtureDiscretizedLogistic(Distribution):
 
     parameters: jax.Array
     event_axes: Tuple[int, ...] = struct.field(pytree_node=False, default=(-1, -2, -3))
+    use_pallas: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_mix(self) -> int:
@@ -119,6 +120,10 @@ class MixtureDiscretizedLogistic(Distribution):
     def log_prob(self, x: jax.Array) -> jax.Array:
         """``x`` in [0, 1] (the internal [0,1]->[-1,1] rescale matches the
         models' usage, /root/reference/models/loss.py:32)."""
+        if self.use_pallas:
+            from vae_mdl_tpu.ops.pallas.mdl_kernel import mdl_log_prob
+
+            return mdl_log_prob(x, self.parameters)
         return mixture_log_prob(x, self.parameters)
 
     def sample(self, key: jax.Array, sample_shape: Tuple[int, ...] = ()) -> jax.Array:

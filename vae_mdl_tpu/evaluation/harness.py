@@ -1,0 +1,138 @@
+"""5000-importance-sample test evaluation — the north-star metric.
+
+The reference's ``test`` loops *eagerly* over 10,000 single images, each with
+one [5000, 1, ...] forward pass (/root/reference/models/model01.py:196-204) —
+sequential, unbatched, memory-bound. This harness is the TPU redesign
+(SURVEY.md §7 step 9):
+
+- images are processed in BATCHES;
+- the k=5000 importance samples are split into k-chunks that fit in HBM and
+  folded into a STREAMING logsumexp (ops.math.streaming_logmeanexp_*) — the
+  numerically exact reduction, never materialising [5000, B, H, W, C];
+- one jitted chunk step; the k-chunk loop is a ``lax.scan`` over folded RNG
+  keys, so the whole per-batch evaluation is a single XLA program;
+- under a mesh the batch shards over the ``data`` axis and the chunk's
+  sample axis over ``sample`` — the logsumexp combine is GSPMD's problem.
+
+Returns (mean_llh, per_image_llh, metrics) where metrics includes bits/dim:
+bpd = -llh / (log 2 * prod(image_shape)) (models/loss.py:42-43).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_mdl_tpu.config import ExperimentConfig
+from vae_mdl_tpu.models.objective import log_weights
+from vae_mdl_tpu.models.vae import prior_for
+
+
+def make_batch_evaluator(
+    model,
+    cfg: ExperimentConfig,
+    n_samples: int = 5000,
+    k_chunk: int = 100,
+    mesh=None,
+):
+    """Returns jitted ``(params, uint8/float batch, key) -> llh [B]``."""
+    if n_samples % k_chunk:
+        raise ValueError("n_samples must be divisible by k_chunk")
+    n_chunks = n_samples // k_chunk
+    prior = prior_for(cfg.model)
+    binarize_input = (
+        cfg.model.likelihood == "bernoulli" and cfg.data.dynamic_binarization
+    )
+
+    def batch_llh(params, batch, key):
+        x = batch.astype(jnp.float32)
+        if jnp.issubdtype(batch.dtype, jnp.integer):
+            x = x / 255.0
+        if binarize_input:
+            # ONE fixed draw per evaluation — identical across k-chunks
+            # (the reference's seed-42 test binarization,
+            # models/model01.py:29-33)
+            x = jax.random.bernoulli(jax.random.fold_in(key, 0), x).astype(
+                jnp.float32
+            )
+
+        keys = jax.random.split(jax.random.fold_in(key, 1), n_chunks)
+
+        def chunk(carry, k_key):
+            m, s = carry
+            Qs, Ps, pxz = model.apply(params, x, k_chunk, rngs={"sample": k_key})
+            log_w = log_weights(prior, Qs, Ps, pxz, x)  # [k_chunk, B]
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                log_w = jax.lax.with_sharding_constraint(
+                    log_w, jax.sharding.NamedSharding(mesh, P("sample", "data"))
+                )
+            chunk_max = jnp.max(log_w, axis=0)
+            new_m = jnp.maximum(m, chunk_max)
+            s = s * jnp.exp(jnp.where(jnp.isneginf(m), -jnp.inf, m - new_m))
+            s = s + jnp.sum(jnp.exp(log_w - new_m[None]), axis=0)
+            return (new_m, s), None
+
+        b = x.shape[0]
+        init = (jnp.full((b,), -jnp.inf), jnp.zeros((b,)))
+        (m, s), _ = jax.lax.scan(chunk, init, keys)
+        return m + jnp.log(s) - math.log(n_samples)  # logmeanexp over all k
+
+    return jax.jit(batch_llh)
+
+
+def evaluate_llh(
+    model,
+    cfg: ExperimentConfig,
+    params,
+    test_images: np.ndarray,
+    n_samples: int = 5000,
+    k_chunk: int = 100,
+    batch_size: int = 100,
+    seed: int = 0,
+    mesh=None,
+    progress: bool = True,
+) -> Tuple[float, np.ndarray, dict]:
+    """Full test-set 5000-IS log-likelihood (reference README's −85.02)."""
+    evaluator = make_batch_evaluator(model, cfg, n_samples, k_chunk, mesh)
+    key = jax.random.PRNGKey(seed)
+
+    n = len(test_images)
+    n_batches = n // batch_size
+    leftover = n - n_batches * batch_size
+
+    indices = range(n_batches)
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            indices = tqdm(indices, desc=f"{n_samples}-IS eval")
+        except ImportError:
+            pass
+
+    llhs = []
+    for i in indices:
+        batch = jnp.asarray(test_images[i * batch_size:(i + 1) * batch_size])
+        if mesh is not None:
+            from vae_mdl_tpu.parallel.mesh import shard_batch
+
+            batch = shard_batch(mesh, batch)
+        llhs.append(np.asarray(evaluator(params, batch, jax.random.fold_in(key, i))))
+    if leftover:
+        # pad the tail batch to the static shape, then drop the padding
+        tail = test_images[n_batches * batch_size:]
+        pad = np.concatenate([tail, tail[: batch_size - leftover]])
+        out = np.asarray(
+            evaluator(params, jnp.asarray(pad), jax.random.fold_in(key, n_batches))
+        )
+        llhs.append(out[:leftover])
+
+    per_image = np.concatenate(llhs)
+    mean_llh = float(per_image.mean())
+    h, w, c = cfg.model.image_shape
+    bpd = -mean_llh / (math.log(2.0) * h * w * c)
+    return mean_llh, per_image, {"llh": mean_llh, "bpd": bpd, "n_samples": n_samples}

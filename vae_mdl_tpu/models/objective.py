@@ -22,6 +22,33 @@ from vae_mdl_tpu.models.losses import (
 )
 
 
+def log_weights(
+    prior: Normal,
+    Qs: Tuple[DistributionTuple, ...],
+    Ps: Tuple[DistributionTuple, ...],
+    pxz: DistributionTuple,
+    x: jax.Array,
+    beta: float = 1.0,
+) -> jax.Array:
+    """Unnormalised importance log-weights ``[k, B]`` for any stochastic
+    depth — the quantity the 5000-IS evaluator streams over k-chunks
+    (the reference reduces it immediately, models/loss.py:28-37)."""
+    import jax.numpy as jnp
+
+    def _reduce(dist, value, axes):
+        return jnp.sum(dist.log_prob(value), axis=tuple(axes))
+
+    top = Qs[-1]
+    lw = _reduce(pxz.dist, x, pxz.axes)
+    kl = _reduce(prior, top.z, prior.event_axes) - _reduce(top.dist, top.z, top.axes)
+    for i in range(len(Qs) - 1):
+        kl = kl + (
+            _reduce(Ps[i].dist, Qs[i].z, Ps[i].axes)
+            - _reduce(Qs[i].dist, Qs[i].z, Qs[i].axes)
+        )
+    return lw + beta * kl
+
+
 def compute_loss(
     prior: Normal,
     Qs: Tuple[DistributionTuple, ...],

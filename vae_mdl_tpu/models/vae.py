@@ -81,6 +81,7 @@ class VAE(nn.Module):
                 activation=cfg.decoder.activation,
                 likelihood=cfg.likelihood,
                 bound_logstd=cfg.bound_logstd,
+                use_pallas=cfg.use_pallas,
                 dtype=dtype,
             )
         else:
@@ -96,6 +97,7 @@ class VAE(nn.Module):
                 likelihood=cfg.likelihood,
                 n_mix=cfg.n_mix,
                 bound_logstd=cfg.bound_logstd,
+                use_pallas=cfg.use_pallas,
                 dtype=dtype,
             )
 
@@ -177,6 +179,13 @@ class VAE(nn.Module):
         (parity: pz at model01.py:135-136)."""
         n_top = self.config.latents()[-1]
         return Normal(jnp.zeros((n_top,)), jnp.ones((n_top,)), event_axes=_LATENT_AXES)
+
+
+def prior_for(config: ModelConfig) -> Normal:
+    """Standard-normal prior over the top latent; parameter-free, so usable
+    outside ``apply`` (e.g. inside jitted train steps)."""
+    n_top = config.latents()[-1]
+    return Normal(jnp.zeros((n_top,)), jnp.ones((n_top,)), event_axes=_LATENT_AXES)
 
 
 def build_model(config: ModelConfig) -> VAE:

@@ -46,7 +46,8 @@ _IMAGE_AXES = (-1, -2, -3)
 
 
 def make_observation(
-    out: jax.Array, likelihood: str, bound_logstd: bool = False
+    out: jax.Array, likelihood: str, bound_logstd: bool = False,
+    use_pallas: bool = False,
 ) -> Obs:
     """Turn raw head output into the configured observation distribution."""
     out = out.astype(jnp.float32)
@@ -62,10 +63,12 @@ def make_observation(
         if bound_logstd:
             logstd = jnp.tanh(logstd)
         return DiscretizedLogistic(
-            mu, logstd, low=0.0, high=1.0, levels=256.0, event_axes=_IMAGE_AXES
+            mu, logstd, low=0.0, high=1.0, levels=256.0, event_axes=_IMAGE_AXES,
+            use_pallas=use_pallas,
         )
     if likelihood == "mdl":
-        return MixtureDiscretizedLogistic(out, event_axes=_IMAGE_AXES)
+        return MixtureDiscretizedLogistic(out, event_axes=_IMAGE_AXES,
+                                          use_pallas=use_pallas)
     raise ValueError(f"unknown likelihood {likelihood!r}")
 
 
@@ -86,6 +89,7 @@ class MLPDecoder(nn.Module):
     activation: str = "tanh"
     likelihood: str = "bernoulli"
     bound_logstd: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -101,7 +105,8 @@ class MLPDecoder(nn.Module):
                        name="out")(x.astype(jnp.float32))
         img_c = head_channels(self.likelihood, c, 0)
         out = out.reshape(z.shape[:-1] + (h, w, img_c))
-        return make_observation(out, self.likelihood, self.bound_logstd)
+        return make_observation(out, self.likelihood, self.bound_logstd,
+                                self.use_pallas)
 
 
 class ConvDecoder(nn.Module):
@@ -123,6 +128,7 @@ class ConvDecoder(nn.Module):
     likelihood: str = "gaussian"
     n_mix: int = 5
     bound_logstd: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -153,4 +159,5 @@ class ConvDecoder(nn.Module):
                           kernel_init=_KERNEL_INIT, name="head")(
                 out.astype(jnp.float32))
         out = unmerge(out)
-        return make_observation(out, self.likelihood, self.bound_logstd)
+        return make_observation(out, self.likelihood, self.bound_logstd,
+                                self.use_pallas)

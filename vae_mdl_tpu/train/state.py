@@ -1,0 +1,96 @@
+"""Full training state as one pytree.
+
+The reference checkpoints only Keras weights (``save_weights``,
+/root/reference/models/model01.py:263-264) — optimizer state, global step and
+RNG are lost on crash (SURVEY.md §5 'failure detection'). Here the state is
+one pytree: params, optimizer state, step, RNG key and best-val-loss, so a
+checkpoint is a full resume point.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from vae_mdl_tpu.config import TrainConfig
+from vae_mdl_tpu.train.schedule import constant_schedule, staircase_schedule
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array  # int32 scalar
+    rng: jax.Array  # base key; per-step keys are folded from (rng, step)
+    best_val_loss: jax.Array  # f32 scalar; +inf at init
+
+    def next_rngs(self, *streams: str):
+        """Per-step, per-stream keys: fold_in(step) then split — fully
+        deterministic, no state mutation (replaces the reference's stateful
+        TF seeds)."""
+        step_key = jax.random.fold_in(self.rng, self.step)
+        keys = jax.random.split(step_key, len(streams))
+        return dict(zip(streams, keys))
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = (
+        staircase_schedule(cfg.learning_rate, cfg.lr_staircase_base,
+                           cfg.lr_staircase_levels)
+        if cfg.lr_staircase
+        else constant_schedule(cfg.learning_rate)
+    )
+    opts: dict[str, Callable] = {"adam": optax.adam, "adamax": optax.adamax}
+    return opts[cfg.optimizer](learning_rate=schedule)
+
+
+def create_train_state(
+    model,
+    cfg: TrainConfig,
+    example_batch: jax.Array,
+    n_samples: int = 1,
+) -> TrainState:
+    key = jax.random.PRNGKey(cfg.seed)
+    k_params, k_sample, k_state = jax.random.split(key, 3)
+    params = model.init(
+        {"params": k_params, "sample": k_sample}, example_batch, n_samples
+    )
+    tx = make_optimizer(cfg)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=k_state,
+        best_val_loss=jnp.asarray(jnp.inf, jnp.float32),
+    )
+
+
+def init_output_bias(state: TrainState, train_mean: jax.Array) -> TrainState:
+    """Initialise the MLP decoder's output bias to train-mean logits.
+
+    Parity: /root/reference/models/model01.py:294-301 — biasing the Bernoulli
+    logits towards the canvas mean speeds up early training. ``train_mean``
+    is the per-pixel mean of (binarized) training images in [0, 1].
+    """
+    p = jnp.clip(jnp.reshape(train_mean, (-1,)), 1e-4, 1.0 - 1e-4)
+    logits = jnp.log(p) - jnp.log1p(-p)
+
+    params = state.params
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    target = None
+    for path, leaf in flat:
+        keys = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+        if "out" in keys and keys[-1] == "bias":
+            target = path
+            break
+    if target is None:
+        raise ValueError("no decoder output bias ('out'/'bias') found in params")
+
+    def replace(path, leaf):
+        return logits.astype(leaf.dtype) if path == target else leaf
+
+    new_params = jax.tree_util.tree_map_with_path(replace, params)
+    return state.replace(params=new_params)

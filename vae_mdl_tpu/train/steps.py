@@ -1,0 +1,94 @@
+"""Jitted train/eval steps.
+
+One fused XLA executable per step — preprocessing (uint8 dequantise +
+optional dynamic binarisation), the k-sample forward pass, the IWAE bound,
+gradients and the optimizer update all compile into a single program
+(the reference splits this across the tf.data CPU pipeline and a
+@tf.function graph, /root/reference/models/model01.py:167-188).
+
+The returned functions are pure ``(state, uint8_batch) -> (state, metrics)``
+and shard transparently under a mesh: batch sharded over the ``data`` axis,
+params replicated — GSPMD inserts the gradient all-reduce (SURVEY.md §2.3).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vae_mdl_tpu.config import ExperimentConfig
+from vae_mdl_tpu.data.preprocess import binarize, dequantize
+from vae_mdl_tpu.models.objective import compute_loss
+from vae_mdl_tpu.models.vae import prior_for
+from vae_mdl_tpu.train.state import TrainState
+
+
+def _scalarize(metrics):
+    return jax.tree.map(jnp.mean, metrics)
+
+
+def preprocess(cfg: ExperimentConfig, batch: jax.Array, key: jax.Array) -> jax.Array:
+    """uint8 batch -> model input, on device."""
+    x = dequantize(batch) if jnp.issubdtype(batch.dtype, jnp.integer) else batch
+    if cfg.model.likelihood == "bernoulli" and cfg.data.dynamic_binarization:
+        x = binarize(key, x)
+    return x
+
+
+def make_train_step(
+    model,
+    cfg: ExperimentConfig,
+    tx: optax.GradientTransformation,
+    donate: bool = True,
+) -> Callable:
+    prior = prior_for(cfg.model)
+    k = cfg.model.n_samples
+
+    def step(state: TrainState, batch: jax.Array):
+        rngs = state.next_rngs("sample", "binarize")
+        x = preprocess(cfg, batch, rngs["binarize"])
+
+        def loss_fn(params):
+            Qs, Ps, pxz = model.apply(
+                params, x, k, rngs={"sample": rngs["sample"]}
+            )
+            return compute_loss(prior, Qs, Ps, pxz, x)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        out = _scalarize(metrics)
+        out["loss"] = loss
+        return new_state, out
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model, cfg: ExperimentConfig, n_samples: Optional[int] = None
+) -> Callable:
+    """(state, uint8 batch) -> metrics; k is static (defaults to train k)."""
+    prior = prior_for(cfg.model)
+    k = n_samples or cfg.model.n_samples
+
+    @jax.jit
+    def step(state: TrainState, batch: jax.Array):
+        rngs = state.next_rngs("eval_sample", "eval_binarize")
+        x = preprocess(cfg, batch, rngs["eval_binarize"])
+        Qs, Ps, pxz = model.apply(
+            state.params, x, k, rngs={"sample": rngs["eval_sample"]}
+        )
+        loss, metrics = compute_loss(prior, Qs, Ps, pxz, x)
+        out = _scalarize(metrics)
+        out["loss"] = loss
+        return out
+
+    return step
