@@ -1,0 +1,217 @@
+"""CLI entry point.
+
+The reference has NO flag system: entry is six per-model ``__main__`` blocks
+run as ``CUDA_VISIBLE_DEVICES=1 nohup python -m models.model01 ...``
+(/root/reference/models/model01.py:283-330) with every hyperparameter
+hardcoded, and a broken ``train_model.py`` (imports a gitignored module,
+train_model.py:1). Here:
+
+    python -m vae_mdl_tpu.cli.run train model01 [--n-updates N] [--dataset D]
+    python -m vae_mdl_tpu.cli.run eval  model01 [--n-samples 5000] [--ckpt best]
+    python -m vae_mdl_tpu.cli.run list
+
+``train`` runs the reference protocol end-to-end: train with eval-interval
+checkpointing, then reload "best", run the 5000-IS test evaluation, and dump
+the input/reconstruction/sample PNG grids to ./assets/ (parity with
+models/model01.py:305-330).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+
+def _apply_overrides(cfg, args):
+    model = cfg.model
+    data = cfg.data
+    train = cfg.train
+    if args.n_updates is not None:
+        train = dataclasses.replace(train, n_updates=args.n_updates)
+    if args.eval_interval is not None:
+        train = dataclasses.replace(train, eval_interval=args.eval_interval)
+    if args.dataset is not None:
+        data = dataclasses.replace(data, dataset=args.dataset)
+    if args.data_dir is not None:
+        data = dataclasses.replace(data, data_dir=args.data_dir)
+    if args.batch_size is not None:
+        data = dataclasses.replace(data, batch_size=args.batch_size)
+    if args.checkpoint_dir is not None:
+        train = dataclasses.replace(train, checkpoint_dir=args.checkpoint_dir)
+    if args.log_dir is not None:
+        train = dataclasses.replace(train, log_dir=args.log_dir)
+    if args.bf16:
+        model = dataclasses.replace(model, compute_dtype="bfloat16")
+    if args.pallas:
+        model = dataclasses.replace(model, use_pallas=True)
+    if args.no_resume:
+        train = dataclasses.replace(train, resume=False)
+    return dataclasses.replace(cfg, model=model, data=data, train=train)
+
+
+def _make_mesh_or_none(mesh_spec: Optional[str]):
+    import jax
+
+    if mesh_spec is None:
+        return None if len(jax.devices()) == 1 else _default_mesh()
+    if mesh_spec == "none":
+        return None
+    from vae_mdl_tpu.config import MeshConfig
+    from vae_mdl_tpu.parallel.mesh import make_mesh
+
+    data, _, sample = mesh_spec.partition("x")
+    return make_mesh(MeshConfig(data=int(data), sample=int(sample or 1)))
+
+
+def _default_mesh():
+    from vae_mdl_tpu.config import MeshConfig
+    from vae_mdl_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(MeshConfig())
+
+
+def cmd_train(args) -> None:
+    import jax
+
+    from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.train.trainer import Trainer
+
+    cfg = _apply_overrides(experiment(args.model), args)
+    mesh = _make_mesh_or_none(args.mesh)
+    trainer = Trainer(cfg, mesh=mesh)
+
+    if cfg.model.name == "model01":
+        _maybe_bias_init(trainer, cfg)
+
+    state = trainer.fit()
+    print(f"[train] finished at step {int(state.step)}, "
+          f"best val loss {float(state.best_val_loss):.4f}")
+
+    _dump_assets(trainer, cfg)
+    if not args.skip_final_eval:
+        _final_eval(trainer, cfg, args.n_samples, mesh)
+
+
+def _maybe_bias_init(trainer, cfg) -> None:
+    """model01's decoder-bias init from the train-mean image
+    (/root/reference/models/model01.py:294-301) — only when starting fresh."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_mdl_tpu.train.state import init_output_bias
+
+    if int(trainer.state.step) != 0:
+        return
+    batches = [next(trainer.train_iter) for _ in range(8)]
+    mean_img = np.concatenate(batches).astype(np.float32).mean(0) / 255.0
+    trainer.state = init_output_bias(trainer.state, jnp.asarray(mean_img))
+    print("[train] decoder output bias initialised to train-mean logits")
+
+
+def _final_eval(trainer, cfg, n_samples, mesh) -> None:
+    from vae_mdl_tpu.evaluation import evaluate_llh
+
+    state = trainer.ckpt.restore(trainer.state, "best") if trainer.ckpt.has(
+        "best") else trainer.state
+    mean_llh, _, metrics = evaluate_llh(
+        trainer.model, cfg, state.params, trainer.test_set[0],
+        n_samples=n_samples, mesh=mesh,
+    )
+    print(f"[eval] {n_samples}-IS test LLH: {mean_llh:.2f} nats, "
+          f"bpd: {metrics['bpd']:.4f}")
+
+
+def _dump_assets(trainer, cfg, out_dir: str = "./assets") -> None:
+    """Final PNG grids (parity: models/model01.py:315-330)."""
+    import numpy as np
+
+    from vae_mdl_tpu.utils.images import fill_canvas, save_png
+
+    os.makedirs(out_dir, exist_ok=True)
+    x_raw = __import__("jax").numpy.asarray(next(trainer.val_iter))[:64]
+    if trainer._report_jit is None:
+        trainer.report(int(trainer.state.step))  # builds the jit
+    x, recon, samples = trainer._report_jit(trainer.state, x_raw)
+    name = cfg.model.name
+    save_png(fill_canvas(np.asarray(x)), f"{out_dir}/{name}_inputs.png")
+    save_png(fill_canvas(np.asarray(recon)), f"{out_dir}/{name}_recon.png")
+    save_png(fill_canvas(np.asarray(samples)), f"{out_dir}/{name}_samples.png")
+    print(f"[assets] wrote {out_dir}/{name}_{{inputs,recon,samples}}.png")
+
+
+def cmd_eval(args) -> None:
+    from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.train.trainer import Trainer
+
+    cfg = _apply_overrides(experiment(args.model), args)
+    mesh = _make_mesh_or_none(args.mesh)
+    trainer = Trainer(cfg, mesh=mesh)
+    if trainer.ckpt.has(args.ckpt):
+        trainer.state = trainer.ckpt.restore(trainer.state, args.ckpt)
+        print(f"[eval] loaded '{args.ckpt}' at step {int(trainer.state.step)}")
+    else:
+        print(f"[eval] WARNING: no '{args.ckpt}' checkpoint; evaluating init")
+
+    from vae_mdl_tpu.evaluation import evaluate_llh
+
+    mean_llh, _, metrics = evaluate_llh(
+        trainer.model, cfg, trainer.state.params, trainer.test_set[0],
+        n_samples=args.n_samples, mesh=mesh,
+    )
+    print(f"[eval] {args.n_samples}-IS test LLH: {mean_llh:.2f} nats, "
+          f"bpd: {metrics['bpd']:.4f}")
+
+
+def cmd_list(args) -> None:
+    from vae_mdl_tpu.models.zoo import MODELS, _DATASETS
+
+    for name, m in MODELS.items():
+        print(f"{name}: {m.likelihood} obs, {m.n_stochastic} stochastic "
+              f"layer(s), latent {m.latents()}, dataset {_DATASETS[name]}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vae_mdl_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("model", choices=[f"model0{i}" for i in range(1, 7)])
+        sp.add_argument("--dataset")
+        sp.add_argument("--data-dir")
+        sp.add_argument("--batch-size", type=int)
+        sp.add_argument("--n-updates", type=int)
+        sp.add_argument("--eval-interval", type=int)
+        sp.add_argument("--checkpoint-dir")
+        sp.add_argument("--log-dir")
+        sp.add_argument("--n-samples", type=int, default=5000,
+                        help="importance samples for the final eval")
+        sp.add_argument("--mesh", help="DxS mesh, e.g. 4x2; 'none' disables")
+        sp.add_argument("--bf16", action="store_true",
+                        help="bfloat16 conv/matmul body")
+        sp.add_argument("--pallas", action="store_true",
+                        help="fused Pallas likelihood kernels")
+        sp.add_argument("--no-resume", action="store_true")
+
+    sp_train = sub.add_parser("train", help="train + final 5000-IS eval + assets")
+    common(sp_train)
+    sp_train.add_argument("--skip-final-eval", action="store_true")
+    sp_train.set_defaults(fn=cmd_train)
+
+    sp_eval = sub.add_parser("eval", help="5000-IS test evaluation")
+    common(sp_eval)
+    sp_eval.add_argument("--ckpt", default="best", choices=["best", "latest"])
+    sp_eval.set_defaults(fn=cmd_eval)
+
+    sp_list = sub.add_parser("list", help="list model configs")
+    sp_list.set_defaults(fn=cmd_list)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

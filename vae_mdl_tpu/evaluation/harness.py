@@ -39,8 +39,10 @@ def make_batch_evaluator(
     mesh=None,
 ):
     """Returns jitted ``(params, uint8/float batch, key) -> llh [B]``."""
-    if n_samples % k_chunk:
-        raise ValueError("n_samples must be divisible by k_chunk")
+    # clamp to a divisor of n_samples so the scan covers exactly n_samples
+    k_chunk = min(k_chunk, n_samples)
+    while n_samples % k_chunk:
+        k_chunk -= 1
     n_chunks = n_samples // k_chunk
     prior = prior_for(cfg.model)
     binarize_input = (
