@@ -1,0 +1,22 @@
+# Convenience targets. CPU-only runs skip the TPU relay dial
+# (PALLAS_AXON_POOL_IPS=) — see .claude/skills/verify/SKILL.md.
+
+CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
+MESH_ENV := $(CPU_ENV) XLA_FLAGS=--xla_force_host_platform_device_count=8
+
+.PHONY: test test-fast bench dryrun lint
+
+test:
+	$(CPU_ENV) python -m pytest tests/ -q
+
+test-fast:
+	$(CPU_ENV) python -m pytest tests/ -q -x -m "not slow"
+
+bench:  # real TPU; run solo (one process may hold the chip)
+	python bench.py
+
+dryrun:  # the driver's multichip validation, locally
+	$(MESH_ENV) python __graft_entry__.py
+
+lint:
+	python -m py_compile $$(git ls-files '*.py')

@@ -1,0 +1,88 @@
+"""NN building-block tests (the reference only has eyeball __main__ scripts,
+modules/residual.py:39-94 etc.)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_mdl_tpu.nn import (
+    GLU,
+    DecoderBlock,
+    EncoderBlock,
+    MLPBlock,
+    ResidualBlock,
+    StochasticDecoderBlock,
+    StochasticEncoderBlock,
+    merge_leading,
+)
+
+K1, K2 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+
+
+def test_glu_shape_and_gating():
+    m = GLU(features=16)
+    x = jax.random.normal(K2, (2, 8, 8, 4))
+    params = m.init(K1, x)
+    y = m.apply(params, x)
+    assert y.shape == (2, 8, 8, 16)
+    assert jnp.all(y >= 0)  # final relu
+
+
+def test_residual_block_rezero_is_identity_at_init():
+    """rezero gate starts at 0 => block output == input at init
+    (/root/reference/modules/residual.py:33-36)."""
+    m = ResidualBlock(hidden_width=8, out_width=4, rezero=True)
+    x = jax.random.normal(K2, (2, 8, 8, 4))
+    params = m.init(K1, x)
+    np.testing.assert_allclose(np.asarray(m.apply(params, x)), np.asarray(x))
+
+    # without rezero the block perturbs the input
+    m2 = ResidualBlock(hidden_width=8, out_width=4, rezero=False)
+    y2 = m2.apply(m2.init(K1, x), x)
+    assert not np.allclose(np.asarray(y2), np.asarray(x))
+
+
+def test_encoder_decoder_blocks_roundtrip_shapes():
+    x = jax.random.normal(K2, (2, 16, 16, 8))
+    enc = EncoderBlock(hidden_width=8, out_width=8, n_blocks=2, downscale_rate=2)
+    p = enc.init(K1, x)
+    h = enc.apply(p, x)
+    assert h.shape == (2, 8, 8, 8)
+
+    dec = DecoderBlock(hidden_width=8, out_width=8, n_blocks=2, upscale_rate=2)
+    p2 = dec.init(K1, h)
+    y = dec.apply(p2, h)
+    assert y.shape == (2, 16, 16, 8)
+
+
+def test_stochastic_blocks_with_leading_sample_axis():
+    """The rank-5 case the reference needed wrapper layers for
+    (modules/enc.py:8-27, dec.py:10-29) — here plain leading axes."""
+    x = jax.random.normal(K2, (3, 2, 16, 16, 4))  # [k, B, H, W, C]
+    enc = StochasticEncoderBlock(hidden_width=4, out_width=4, n_blocks=1,
+                                 downscale_rate=2)
+    p = enc.init(K1, x)
+    q = enc.apply(p, x)
+    assert q.loc.shape == (3, 2, 8, 8, 4)
+    assert jnp.all(q.scale > 0)
+
+    dec = StochasticDecoderBlock(hidden_width=4, out_width=4, n_blocks=1,
+                                 upscale_rate=2)
+    p2 = dec.init(K1, q.loc)
+    pz = dec.apply(p2, q.loc)
+    assert pz.loc.shape == (3, 2, 16, 16, 4)
+
+
+def test_mlp_block_std_transforms():
+    x = jax.random.normal(K2, (5, 7))
+    for transform in ("exp", "softplus"):
+        m = MLPBlock(n_hidden=16, n_latent=3, std_transform=transform)
+        q = m.apply(m.init(K1, x), x)
+        assert q.loc.shape == (5, 3)
+        assert jnp.all(q.scale > 0)
+
+
+def test_merge_leading_roundtrip():
+    x = jnp.arange(2 * 3 * 4 * 4 * 5, dtype=jnp.float32).reshape(2, 3, 4, 4, 5)
+    merged, unmerge = merge_leading(x)
+    assert merged.shape == (6, 4, 4, 5)
+    np.testing.assert_array_equal(np.asarray(unmerge(merged)), np.asarray(x))

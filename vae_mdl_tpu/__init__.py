@@ -42,3 +42,21 @@ __all__ = [
     "logmeanexp",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    """Lazy heavyweight exports: models/trainer/eval without import cost."""
+    if name in ("MODELS", "build_model", "experiment", "compute_loss",
+                "iwae_loss", "elbo_loss"):
+        import vae_mdl_tpu.models as m
+
+        return getattr(m, name)
+    if name == "Trainer":
+        from vae_mdl_tpu.train.trainer import Trainer
+
+        return Trainer
+    if name == "evaluate_llh":
+        from vae_mdl_tpu.evaluation import evaluate_llh
+
+        return evaluate_llh
+    raise AttributeError(f"module 'vae_mdl_tpu' has no attribute {name!r}")

@@ -72,11 +72,11 @@ def _default_mesh():
 
 
 def cmd_train(args) -> None:
-    import jax
-
     from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.parallel.distributed import init_distributed
     from vae_mdl_tpu.train.trainer import Trainer
 
+    init_distributed()
     cfg = _apply_overrides(experiment(args.model), args)
     mesh = _make_mesh_or_none(args.mesh)
     trainer = Trainer(cfg, mesh=mesh)
@@ -84,7 +84,7 @@ def cmd_train(args) -> None:
     if cfg.model.name == "model01":
         _maybe_bias_init(trainer, cfg)
 
-    state = trainer.fit()
+    state = trainer.fit(profile_dir=args.profile)
     print(f"[train] finished at step {int(state.step)}, "
           f"best val loss {float(state.best_val_loss):.4f}")
 
@@ -192,6 +192,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--pallas", action="store_true",
                         help="fused Pallas likelihood kernels")
         sp.add_argument("--no-resume", action="store_true")
+        sp.add_argument("--profile", metavar="DIR",
+                        help="capture a jax.profiler trace of ~20 steps")
 
     sp_train = sub.add_parser("train", help="train + final 5000-IS eval + assets")
     common(sp_train)

@@ -125,7 +125,22 @@ def load_celeba(data_dir: str, size: int = 64) -> Dict[str, Arrays]:
     """OpenAI Glow TFRecord shards; images resized to 64x64 like the
     reference (/root/reference/utils/data.py:87-90 — the random flip is done
     on device in the pipeline instead)."""
+    from vae_mdl_tpu.data import native
     from vae_mdl_tpu.data.tfrecord import parse_example, read_records
+
+    def parse_file(path):
+        fast = native.parse_celeba_file(path)  # C++ core; None -> fallback
+        if fast is not None:
+            return fast
+        out = []
+        for record in read_records(path):
+            ex = parse_example(record)
+            shape = ex["shape"]
+            img = np.frombuffer(ex["data"][0], np.uint8).reshape(
+                int(shape[0]), int(shape[1]), int(shape[2])
+            )
+            out.append((img, int(ex["label"][0])))
+        return out
 
     out: Dict[str, Arrays] = {}
     for split in ("train", "validation"):
@@ -134,16 +149,11 @@ def load_celeba(data_dir: str, size: int = 64) -> Dict[str, Arrays]:
             raise FileNotFoundError(f"celeba shards not found for split {split}")
         imgs, labels = [], []
         for path in files:
-            for record in read_records(path):
-                ex = parse_example(record)
-                shape = ex["shape"]
-                img = np.frombuffer(ex["data"][0], np.uint8).reshape(
-                    int(shape[0]), int(shape[1]), int(shape[2])
-                )
+            for img, label in parse_file(path):
                 if img.shape[0] != size:
                     img = _resize_nearest(img, size)
                 imgs.append(img)
-                labels.append(int(ex["label"][0]))
+                labels.append(label)
         out[split] = (np.stack(imgs), np.asarray(labels, np.int32))
     return out
 

@@ -17,8 +17,15 @@ The cheap per-parameter transforms (logscale clamp, tanh coeffs, the
 [0,1]->[-1,1] rescale) and the transpose into kernel layout stay in jnp —
 XLA fuses them into the producing conv's epilogue.
 
-Backward: ``jax.vjp`` of the jnp reference (eval paths — the 5000-IS
-harness — are forward-only, which is where this kernel earns its keep).
+Backward: ``jax.vjp`` of the jnp reference.
+
+MEASURED (TPU v5e, 2026-08): XLA's own fusion of the jnp implementation beats
+this kernel both in training (17.6k vs 10.2k imgs/s on model05) and in the
+forward-only 5000-IS eval (25.9 vs 11.5 imgs/s) — the transposes into the
+[params, pixels] kernel layout cost more HBM traffic than the fusion saves.
+This is the outcome SURVEY.md §7 step 8 anticipated; the kernel therefore
+stays opt-in (``use_pallas``), correct (oracle-tested) and available as the
+substrate for a future layout-free variant.
 """
 from __future__ import annotations
 

@@ -90,12 +90,18 @@ class Trainer:
         n_updates: Optional[int] = None,
         eval_interval: Optional[int] = None,
         progress: bool = True,
+        profile_dir: Optional[str] = None,
+        profile_steps: int = 20,
     ) -> TrainState:
+        """Train. ``profile_dir`` captures a ``jax.profiler`` trace of
+        ``profile_steps`` steps early in the run (the reference has no
+        profiling at all, SURVEY.md §5)."""
         cfg = self.cfg
         n_updates = n_updates if n_updates is not None else cfg.train.n_updates
         eval_interval = (
             eval_interval if eval_interval is not None else cfg.train.eval_interval
         )
+        profile_at = int(self.state.step) + 3 if profile_dir else -1
 
         start_step = int(self.state.step)
         steps = range(start_step, n_updates)
@@ -110,9 +116,16 @@ class Trainer:
         window_t0 = time.perf_counter()
         window_imgs = 0
         for i in steps:
+            if i == profile_at:
+                jax.profiler.start_trace(profile_dir)
             batch = self._put(next(self.train_iter))
             self.state, metrics = self.train_step(self.state, batch)
             window_imgs += batch.shape[0]
+            if profile_at >= 0 and i == profile_at + profile_steps:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profile_at = -1
+                print(f"[trainer] wrote profiler trace to {profile_dir}")
 
             if i % eval_interval == 0:
                 # throughput over the window just finished (excludes eval)
@@ -140,6 +153,12 @@ class Trainer:
 
                 window_t0 = time.perf_counter()
                 window_imgs = 0
+
+        # final save so auto-resume continues from the true last step (the
+        # reference only saves on eval intervals, trainer.py:10-15, losing
+        # the tail of the run)
+        jax.block_until_ready(self.state.params)
+        self.ckpt.save(self.state, "latest")
         return self.state
 
     # ------------------------------------------------------------------ report
