@@ -181,12 +181,21 @@ class VAE(nn.Module):
         return Normal(jnp.zeros((n_top,)), jnp.ones((n_top,)), event_axes=_LATENT_AXES)
 
 
-def prior_for(config: ModelConfig) -> Normal:
+def prior_for(config) -> Normal:
     """Standard-normal prior over the top latent; parameter-free, so usable
-    outside ``apply`` (e.g. inside jitted train steps)."""
+    outside ``apply`` (e.g. inside jitted train steps). Dispatches on config
+    family (dense VAE vs conv ladder)."""
+    from vae_mdl_tpu.models.ladder import LadderConfig, ladder_prior
+
+    if isinstance(config, LadderConfig):
+        return ladder_prior(config)
     n_top = config.latents()[-1]
     return Normal(jnp.zeros((n_top,)), jnp.ones((n_top,)), event_axes=_LATENT_AXES)
 
 
-def build_model(config: ModelConfig) -> VAE:
+def build_model(config):
+    from vae_mdl_tpu.models.ladder import ConvLadderVAE, LadderConfig
+
+    if isinstance(config, LadderConfig):
+        return ConvLadderVAE(config)
     return VAE(config)

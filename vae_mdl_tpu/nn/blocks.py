@@ -145,6 +145,12 @@ class ResidualBlock(nn.Module):
         if self.rezero:
             gate = self.param("gate", nn.initializers.zeros, ())
             h = h * gate.astype(h.dtype)
+        if x.shape[-1] != self.out_width:
+            # 1x1 shortcut projection when the block changes width (the
+            # reference's block silently requires out_width == in channels;
+            # extension for the conv-ladder models)
+            x = nn.Conv(self.out_width, (1, 1), dtype=self.dtype,
+                        kernel_init=_KERNEL_INIT, name="shortcut")(x)
         return x + h
 
 
