@@ -167,8 +167,10 @@ def cmd_list(args) -> None:
     from vae_mdl_tpu.models.zoo import MODELS, _DATASETS
 
     for name, m in MODELS.items():
+        latent = (m.latents() if hasattr(m, "latents")
+                  else f"spatial {m.top_latent_shape()}")
         print(f"{name}: {m.likelihood} obs, {m.n_stochastic} stochastic "
-              f"layer(s), latent {m.latents()}, dataset {_DATASETS[name]}")
+              f"layer(s), latent {latent}, dataset {_DATASETS[name]}")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -176,7 +178,10 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
-        sp.add_argument("model", choices=[f"model0{i}" for i in range(1, 7)])
+        sp.add_argument(
+            "model",
+            choices=[f"model0{i}" for i in range(1, 7)] + ["ladder_svhn"],
+        )
         sp.add_argument("--dataset")
         sp.add_argument("--data-dir")
         sp.add_argument("--batch-size", type=int)

@@ -145,8 +145,10 @@ MODEL06 = ModelConfig(
     ),
 )
 
+from vae_mdl_tpu.models.ladder import LADDER_SVHN  # noqa: E402
+
 MODELS = {m.name: m for m in
-          (MODEL01, MODEL02, MODEL03, MODEL04, MODEL05, MODEL06)}
+          (MODEL01, MODEL02, MODEL03, MODEL04, MODEL05, MODEL06, LADDER_SVHN)}
 
 _DATASETS = {
     "model01": "mnist",
@@ -155,6 +157,7 @@ _DATASETS = {
     "model04": "svhn_cropped",
     "model05": "svhn_cropped",
     "model06": "svhn_cropped",
+    "ladder_svhn": "svhn_cropped",
 }
 
 # reference run lengths: model01 trains 1.4M updates (model01.py:303),
@@ -166,6 +169,7 @@ _N_UPDATES = {
     "model04": 100_000,
     "model05": 100_000,
     "model06": 100_000,
+    "ladder_svhn": 100_000,
 }
 
 

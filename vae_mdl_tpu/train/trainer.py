@@ -172,7 +172,11 @@ class Trainer:
         if self._report_jit is None:
             cfg = self.cfg
             model = self.model
-            n_top = cfg.model.latents()[-1]
+            top_shape = (
+                cfg.model.top_latent_shape()
+                if hasattr(cfg.model, "top_latent_shape")
+                else (cfg.model.latents()[-1],)
+            )
 
             @jax.jit
             def _report(state, batch):
@@ -183,7 +187,7 @@ class Trainer:
                 )
                 recon = _obs_mean(pxz.dist)[0]  # first (only) importance sample
                 k_prior, k_gen = jax.random.split(rngs["rep_prior"])
-                z_top = jax.random.normal(k_prior, (batch.shape[0], n_top))
+                z_top = jax.random.normal(k_prior, (batch.shape[0],) + top_shape)
                 gen = model.apply(
                     state.params, z_top, rngs={"sample": k_gen}, method="generate"
                 )
