@@ -217,6 +217,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if getattr(args, "fn", None) is not cmd_list:
+        from vae_mdl_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
     args.fn(args)
 
 

@@ -176,9 +176,12 @@ _N_UPDATES = {
 def experiment(name: str, **overrides) -> ExperimentConfig:
     """Full experiment config for a named model, reference defaults."""
     model = MODELS[name]
+    # model01 validates on the WHOLE 10k MNIST test set as one batch
+    # (model01.py:55-63); the other models use 500 (utils/data.py:20)
+    val_bs = 10_000 if name == "model01" else 500
     cfg = ExperimentConfig(
         model=model,
-        data=DataConfig(dataset=_DATASETS[name]),
+        data=DataConfig(dataset=_DATASETS[name], val_batch_size=val_bs),
         train=TrainConfig(n_updates=_N_UPDATES[name]),
     )
     if overrides:
