@@ -88,19 +88,21 @@ def epoch_batches(
             yield x[order[start:start + batch_size]]
 
 
-def device_prefetch(it: Iterator[np.ndarray], size: int = 2) -> Iterator:
+def device_prefetch(it: Iterator[np.ndarray], size: int = 2, put=None) -> Iterator:
     """Stage upcoming batches onto the device from a background thread,
     overlapping host IO with device compute (the tf.data ``prefetch(4)``
-    equivalent, utils/data.py:37, without the TF runtime)."""
+    equivalent, utils/data.py:37, without the TF runtime). ``put`` customises
+    placement (e.g. a sharded device_put for a mesh)."""
     import jax
 
+    put = put or jax.device_put
     q: "queue.Queue" = queue.Queue(maxsize=size)
     stop = object()
 
     def producer():
         try:
             for batch in it:
-                q.put(jax.device_put(batch))
+                q.put(put(batch))
         finally:
             q.put(stop)
 

@@ -73,6 +73,7 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, cfg)
         self.logger = logger or MetricLogger(cfg.train.log_dir, cfg.model.name)
         self._report_jit = None
+        self._stream = None  # lazily-started async device-prefetch stream
 
     # ------------------------------------------------------------------ utils
 
@@ -113,12 +114,18 @@ class Trainer:
             except ImportError:
                 pass
 
+        if self._stream is None:
+            from vae_mdl_tpu.data.pipeline import device_prefetch
+
+            self._stream = device_prefetch(self.train_iter, size=2,
+                                           put=self._put)
+
         window_t0 = time.perf_counter()
         window_imgs = 0
         for i in steps:
             if i == profile_at:
                 jax.profiler.start_trace(profile_dir)
-            batch = self._put(next(self.train_iter))
+            batch = next(self._stream)
             self.state, metrics = self.train_step(self.state, batch)
             window_imgs += batch.shape[0]
             if profile_at >= 0 and i == profile_at + profile_steps:
