@@ -86,3 +86,34 @@ def test_merge_leading_roundtrip():
     merged, unmerge = merge_leading(x)
     assert merged.shape == (6, 4, 4, 5)
     np.testing.assert_array_equal(np.asarray(unmerge(merged)), np.asarray(x))
+
+
+def test_receptive_fields():
+    """Quantitative version of the reference's qualitative receptive-field
+    plots (modules/enc.py:99-107): the gradient of one output pixel w.r.t.
+    the input is nonzero only inside the block's theoretical receptive field."""
+    x = jnp.zeros((1, 16, 16, 4))
+    m = GLU(features=8)
+    params = m.init(K1, x)
+
+    def one_pixel(xin):
+        return m.apply(params, xin)[0, 8, 8, :].sum()
+
+    g = jax.grad(one_pixel)(jax.random.normal(K2, x.shape))
+    nz = np.argwhere(np.abs(np.asarray(g)[0]).sum(-1) > 0)
+    # two stacked 3x3 convs -> 5x5 receptive field around (8, 8)
+    assert nz.min(0).tolist() >= [6, 6]
+    assert nz.max(0).tolist() <= [10, 10]
+
+    r = ResidualBlock(hidden_width=4, out_width=4)
+    pr = r.init(K1, x)
+
+    def one_pixel_r(xin):
+        return r.apply(pr, xin)[0, 8, 8, :].sum()
+
+    gr = jax.grad(one_pixel_r)(jax.random.normal(K2, x.shape))
+    nzr = np.argwhere(np.abs(np.asarray(gr)[0]).sum(-1) > 0)
+    # 1x1,3x3,3x3,1x1 -> 5x5 receptive field (plus the residual identity at
+    # the centre itself)
+    assert nzr.min(0).tolist() >= [6, 6]
+    assert nzr.max(0).tolist() <= [10, 10]

@@ -110,3 +110,34 @@ def test_determinism_same_seed_same_loss():
         batch = jnp.asarray(next(tr.val_iter))
         losses.append(float(make_eval_step(tr.model, cfg)(state, batch)["loss"]))
     assert losses[0] == losses[1]
+
+
+def test_gradient_accumulation():
+    """grad_accum_steps=2: params update only every 2nd step, matching the
+    average-gradient update."""
+    import jax
+    from vae_mdl_tpu.models.vae import build_model
+    from vae_mdl_tpu.train.steps import make_train_step
+
+    cfg = experiment("model01")
+    cfg = dataclasses.replace(
+        cfg,
+        data=DataConfig(dataset="synthetic:mnist", batch_size=8),
+        train=TrainConfig(grad_accum_steps=2, lr_staircase=False),
+    )
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x = jnp.zeros((8, 28, 28, 1))
+    state = create_train_state(model, cfg.train, x, cfg.model.n_samples)
+    step = make_train_step(model, cfg, tx, donate=False)
+
+    batch = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (8, 28, 28, 1), dtype=np.uint8)
+    )
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    state1, _ = step(state, batch)
+    p1 = jax.tree.leaves(state1.params)[0]
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))  # accumulating
+    state2, _ = step(state1, batch)
+    p2 = jax.tree.leaves(state2.params)[0]
+    assert not np.array_equal(np.asarray(p1), np.asarray(p2))  # applied

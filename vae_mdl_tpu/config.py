@@ -101,6 +101,7 @@ class TrainConfig:
     lr_staircase_base: int = 7000
     lr_staircase_levels: int = 8
     optimizer: str = "adam"  # "adamax" is the reference's commented alternative
+    grad_accum_steps: int = 1  # >1: optax.MultiSteps gradient accumulation
     seed: int = 0
     checkpoint_dir: str = "./saved_models"
     log_dir: str = "/tmp/tensorboard"

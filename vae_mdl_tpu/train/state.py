@@ -44,7 +44,12 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         else constant_schedule(cfg.learning_rate)
     )
     opts: dict[str, Callable] = {"adam": optax.adam, "adamax": optax.adamax}
-    return opts[cfg.optimizer](learning_rate=schedule)
+    tx = opts[cfg.optimizer](learning_rate=schedule)
+    if cfg.grad_accum_steps > 1:
+        # large effective batches without the memory (not in the reference;
+        # production extension)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx
 
 
 def create_train_state(
