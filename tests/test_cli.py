@@ -33,6 +33,7 @@ def test_cli_train_end_to_end(tmp_path, monkeypatch):
         "--checkpoint-dir", str(tmp_path / "ckpt"),
         "--log-dir", str(tmp_path / "tb"),
         "--mesh", "none",
+        "--skip-final-eval",
     ])
     assert os.path.isdir(tmp_path / "ckpt" / "model01" / "latest")
     assert os.path.exists(tmp_path / "assets" / "model01_samples.png")

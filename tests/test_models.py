@@ -27,7 +27,11 @@ def _forward(name):
     return cfg, model, params, x, Qs, Ps, pxz
 
 
-@pytest.mark.parametrize("name", sorted(MODELS))
+# ladder_svhn has spatial latents and its own test file (test_ladder.py)
+_DENSE = sorted(n for n in MODELS if hasattr(MODELS[n], "latents"))
+
+
+@pytest.mark.parametrize("name", _DENSE)
 def test_forward_and_loss(name):
     cfg, model, params, x, Qs, Ps, pxz = _forward(name)
     latents = cfg.latents()
