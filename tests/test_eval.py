@@ -69,3 +69,15 @@ def test_evaluation_is_deterministic():
     b = evaluate_llh(model, cfg, params, imgs, n_samples=10, k_chunk=5,
                      batch_size=3, seed=5, progress=False)[1]
     assert np.array_equal(a, b)
+
+
+def test_evaluate_llh_small_tail_large_batch():
+    """Regression: leftover*2 < batch_size must still pad correctly."""
+    cfg, model, params, _ = _setup()
+    imgs = (np.random.default_rng(2).random((3, 28, 28, 1)) * 255).astype(np.uint8)
+    _, per_image, _ = evaluate_llh(
+        model, cfg, params, imgs, n_samples=10, k_chunk=5, batch_size=8,
+        progress=False,
+    )
+    assert per_image.shape == (3,)
+    assert np.isfinite(per_image).all()

@@ -127,7 +127,8 @@ def evaluate_llh(
     if leftover:
         # pad the tail batch to the static shape, then drop the padding
         tail = test_images[n_batches * batch_size:]
-        pad = np.concatenate([tail, tail[: batch_size - leftover]])
+        reps = -(-batch_size // leftover)
+        pad = np.concatenate([tail] * reps)[:batch_size]
         out = np.asarray(
             evaluator(params, jnp.asarray(pad), jax.random.fold_in(key, n_batches))
         )
