@@ -103,3 +103,23 @@ def test_bound_logstd_flag():
     # tanh bounds logscale to [-1, 1] => scale of the DL in [e^-1, e]
     assert jnp.all(pxz.dist.logscale <= 1.0 + 1e-6)
     assert jnp.all(pxz.dist.logscale >= -1.0 - 1e-6)
+
+
+def test_pmdl_likelihood_head():
+    """Loc-conditioned mixture head (the reference's exported alternative,
+    utils/mdl_plain.py) as a config: per-pixel log-prob, event axes (-1,-2)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        MODELS["model05"], likelihood="pmdl", name="model05_pmdl"
+    )
+    model = build_model(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (B, 32, 32, 3))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, 1
+    )
+    Qs, Ps, pxz = model.apply(params, x, K, rngs={"sample": jax.random.PRNGKey(2)})
+    assert pxz.axes == (-1, -2)
+    assert pxz.dist.log_prob(x).shape == (K, B, 32, 32)
+    loss, metrics = compute_loss(prior_for(cfg), Qs, Ps, pxz, x)
+    assert jnp.isfinite(loss)

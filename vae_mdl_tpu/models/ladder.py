@@ -124,7 +124,7 @@ class ConvLadderVAE(nn.Module):
                                self.config.bound_logstd,
                                self.config.use_pallas)
         return DistributionTuple(pxz, pxz.sample(self.make_rng("sample")),
-                                 axes=_SPATIAL_AXES)
+                                 axes=pxz.event_axes)
 
     def decode_down(self, Qs):
         Ps = []

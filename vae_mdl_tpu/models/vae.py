@@ -144,7 +144,7 @@ class VAE(nn.Module):
         """p(x | z_1) with a sample attached (model06.py:157-167)."""
         pxz = self.decoder(z1)
         x = pxz.sample(self.make_rng("sample"))
-        return DistributionTuple(pxz, x, axes=(-1, -2, -3))
+        return DistributionTuple(pxz, x, axes=pxz.event_axes)
 
     def decode_down(self, Qs: Tuple[DistributionTuple, ...]):
         """Generative conditionals p(z_i | z_{i+1}) evaluated at the

@@ -34,13 +34,15 @@ from vae_mdl_tpu.distributions import (
     DiscretizedLogistic,
     MixtureDiscretizedLogistic,
     Normal,
+    PixelMixtureDiscretizedLogistic,
 )
 from vae_mdl_tpu.nn.blocks import _KERNEL_INIT, _activation, merge_leading
 from vae_mdl_tpu.nn.encoders import ConvSpec, apply_conv_stack
 
 Dtype = Any
 
-Obs = Union[Bernoulli, Normal, DiscretizedLogistic, MixtureDiscretizedLogistic]
+Obs = Union[Bernoulli, Normal, DiscretizedLogistic,
+            MixtureDiscretizedLogistic, PixelMixtureDiscretizedLogistic]
 
 _IMAGE_AXES = (-1, -2, -3)
 
@@ -69,6 +71,11 @@ def make_observation(
     if likelihood == "mdl":
         return MixtureDiscretizedLogistic(out, event_axes=_IMAGE_AXES,
                                           use_pallas=use_pallas)
+    if likelihood == "pmdl":
+        # loc-conditioned mixture (no dependence on observed x) — the
+        # reference's exported-but-unused alternative (utils/mdl_plain.py,
+        # utils/__init__.py:6); log_prob is per-pixel, so event axes (-1,-2)
+        return PixelMixtureDiscretizedLogistic(out, event_axes=(-1, -2))
     raise ValueError(f"unknown likelihood {likelihood!r}")
 
 
@@ -78,6 +85,7 @@ def head_channels(likelihood: str, out_channels: int, n_mix: int) -> int:
         "gaussian": 2 * out_channels,
         "dl": 2 * out_channels,
         "mdl": n_mix * 10,
+        "pmdl": n_mix * 10,
     }[likelihood]
 
 

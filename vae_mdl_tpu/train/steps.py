@@ -55,7 +55,8 @@ def make_train_step(
             Qs, Ps, pxz = model.apply(
                 params, x, k, rngs={"sample": rngs["sample"]}
             )
-            return compute_loss(prior, Qs, Ps, pxz, x)
+            return compute_loss(prior, Qs, Ps, pxz, x,
+                                beta=cfg.model.beta)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -86,7 +87,8 @@ def make_eval_step(
         Qs, Ps, pxz = model.apply(
             state.params, x, k, rngs={"sample": rngs["eval_sample"]}
         )
-        loss, metrics = compute_loss(prior, Qs, Ps, pxz, x)
+        loss, metrics = compute_loss(prior, Qs, Ps, pxz, x,
+                                     beta=cfg.model.beta)
         out = _scalarize(metrics)
         out["loss"] = loss
         return out
