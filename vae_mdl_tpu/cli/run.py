@@ -163,6 +163,31 @@ def cmd_eval(args) -> None:
           f"bpd: {metrics['bpd']:.4f}")
 
 
+def cmd_sample(args) -> None:
+    """Batch image generation (serving-style): prior -> decoder -> PNG grid."""
+    import math
+
+    import jax
+    import numpy as np
+
+    from vae_mdl_tpu.models.inference import make_sampler
+    from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.train.trainer import Trainer
+    from vae_mdl_tpu.utils.images import fill_canvas, save_png
+
+    cfg = _apply_overrides(experiment(args.model), args)
+    trainer = Trainer(cfg, mesh=_make_mesh_or_none(args.mesh))
+    if trainer.ckpt.has(args.ckpt):
+        trainer.state = trainer.ckpt.restore(trainer.state, args.ckpt)
+    sampler = make_sampler(trainer.model, cfg.model)
+    imgs = np.asarray(sampler(trainer.state.params, jax.random.PRNGKey(0),
+                              args.n))
+    out = args.out or f"./assets/{cfg.model.name}_prior_samples.png"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    save_png(fill_canvas(imgs, int(math.sqrt(args.n))), out)
+    print(f"[sample] wrote {args.n} prior samples to {out}")
+
+
 def cmd_list(args) -> None:
     from vae_mdl_tpu.models.zoo import MODELS, _DATASETS
 
@@ -180,7 +205,8 @@ def build_parser() -> argparse.ArgumentParser:
     def common(sp):
         sp.add_argument(
             "model",
-            choices=[f"model0{i}" for i in range(1, 7)] + ["ladder_svhn"],
+            choices=[f"model0{i}" for i in range(1, 7)]
+            + ["ladder_svhn", "digits"],
         )
         sp.add_argument("--dataset")
         sp.add_argument("--data-dir")
@@ -209,6 +235,14 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp_eval)
     sp_eval.add_argument("--ckpt", default="best", choices=["best", "latest"])
     sp_eval.set_defaults(fn=cmd_eval)
+
+    sp_sample = sub.add_parser("sample", help="generate images from the prior")
+    common(sp_sample)
+    sp_sample.add_argument("--n", type=int, default=64)
+    sp_sample.add_argument("--out", default=None, help="output PNG path")
+    sp_sample.add_argument("--ckpt", default="best",
+                           choices=["best", "latest"])
+    sp_sample.set_defaults(fn=cmd_sample)
 
     sp_list = sub.add_parser("list", help="list model configs")
     sp_list.set_defaults(fn=cmd_list)

@@ -165,6 +165,24 @@ def _resize_nearest(img: np.ndarray, size: int) -> np.ndarray:
     return img[ri][:, ci]
 
 
+def load_digits() -> Dict[str, Arrays]:
+    """scikit-learn's bundled 8x8 handwritten-digits set (1797 images) —
+    the one REAL image dataset available offline in sealed environments.
+    Not a reference dataset; useful for demo runs with non-synthetic data.
+    Upscaled to 16x16 so stride-2 conv stacks have room."""
+    from sklearn.datasets import load_digits as _ld
+
+    d = _ld()
+    imgs = (d.images / 16.0 * 255.0).astype(np.uint8)[..., None]
+    imgs = np.repeat(np.repeat(imgs, 2, axis=1), 2, axis=2)  # 8x8 -> 16x16
+    labels = d.target.astype(np.int32)
+    n_train = 1500
+    return {
+        "train": (imgs[:n_train], labels[:n_train]),
+        "test": (imgs[n_train:], labels[n_train:]),
+    }
+
+
 def load_synthetic(
     image_shape: Tuple[int, int, int],
     n_train: int = 2048,
@@ -199,6 +217,8 @@ def load_dataset(
         "cifar10": load_cifar10,
         "celeba": load_celeba,
     }
+    if dataset == "digits":
+        return load_digits()
     if dataset == "synthetic":
         return load_synthetic((32, 32, 3))
     if dataset.startswith("synthetic:"):  # synthetic:mnist etc.

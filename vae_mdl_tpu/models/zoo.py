@@ -145,10 +145,23 @@ MODEL06 = ModelConfig(
     ),
 )
 
+# demo config on the one REAL offline dataset (sklearn 8x8 digits, 16x16
+# upscaled): a small model01-style Bernoulli IWAE
+DIGITS = ModelConfig(
+    name="digits",
+    image_shape=(16, 16, 1),
+    n_latent=16,
+    likelihood="bernoulli",
+    encoder=EncoderConfig(kind="mlp", n_hidden=128, activation="tanh",
+                          std_transform="exp"),
+    decoder=DecoderConfig(kind="mlp", n_hidden=128, activation="tanh"),
+)
+
 from vae_mdl_tpu.models.ladder import LADDER_SVHN  # noqa: E402
 
 MODELS = {m.name: m for m in
-          (MODEL01, MODEL02, MODEL03, MODEL04, MODEL05, MODEL06, LADDER_SVHN)}
+          (MODEL01, MODEL02, MODEL03, MODEL04, MODEL05, MODEL06, LADDER_SVHN,
+           DIGITS)}
 
 _DATASETS = {
     "model01": "mnist",
@@ -158,6 +171,7 @@ _DATASETS = {
     "model05": "svhn_cropped",
     "model06": "svhn_cropped",
     "ladder_svhn": "svhn_cropped",
+    "digits": "digits",
 }
 
 # reference run lengths: model01 trains 1.4M updates (model01.py:303),
@@ -170,6 +184,7 @@ _N_UPDATES = {
     "model05": 100_000,
     "model06": 100_000,
     "ladder_svhn": 100_000,
+    "digits": 20_000,
 }
 
 
