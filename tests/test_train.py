@@ -141,3 +141,48 @@ def test_gradient_accumulation():
     state2, _ = step(state1, batch)
     p2 = jax.tree.leaves(state2.params)[0]
     assert not np.array_equal(np.asarray(p1), np.asarray(p2))  # applied
+
+
+def test_multi_step_scan_equals_single_steps():
+    """lax.scan of n steps == n individual steps, bit-for-bit: per-step RNG
+    derives from (rng, step) so the scan carries identical randomness."""
+    import jax
+    from vae_mdl_tpu.models.vae import build_model
+    from vae_mdl_tpu.train.steps import make_multi_train_step, make_train_step
+
+    cfg = experiment("model01")
+    cfg = dataclasses.replace(
+        cfg, data=DataConfig(dataset="synthetic:mnist", batch_size=8)
+    )
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x = jnp.zeros((8, 28, 28, 1))
+    state_a = create_train_state(model, cfg.train, x, cfg.model.n_samples)
+    state_b = state_a
+
+    rng = np.random.default_rng(0)
+    batches = rng.integers(0, 256, (4, 8, 28, 28, 1), dtype=np.uint8)
+
+    single = make_train_step(model, cfg, tx, donate=False)
+    for b in batches:
+        state_a, m_a = single(state_a, jnp.asarray(b))
+
+    multi = make_multi_train_step(model, cfg, tx, n_steps=4, donate=False)
+    state_b, m_b = multi(state_b, jnp.asarray(batches))
+
+    assert int(state_a.step) == int(state_b.step) == 4
+    assert float(m_a["loss"]) == float(m_b["loss"])
+    for la, lb in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_trainer_steps_per_call():
+    tmp = tempfile.mkdtemp()
+    cfg = _tiny_cfg(tmp, n_updates=20, eval_interval=10)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, steps_per_call=5)
+    )
+    tr = Trainer(cfg)
+    state = tr.fit(progress=False)
+    assert int(state.step) == 20

@@ -103,6 +103,9 @@ class TrainConfig:
     lr_staircase_levels: int = 8
     optimizer: str = "adam"  # "adamax" is the reference's commented alternative
     grad_accum_steps: int = 1  # >1: optax.MultiSteps gradient accumulation
+    # >1: lax.scan that many updates per dispatched program (amortises host
+    # overhead for small/fast models); must divide eval_interval & n_updates
+    steps_per_call: int = 1
     seed: int = 0
     checkpoint_dir: str = "./saved_models"
     log_dir: str = "/tmp/tensorboard"

@@ -54,6 +54,7 @@ class LadderConfig:
     rezero: bool = True
     use_pallas: bool = False
     compute_dtype: str = "float32"
+    beta: float = 1.0  # KL weight in the bound
 
     @property
     def n_stochastic(self) -> int:

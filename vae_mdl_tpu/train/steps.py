@@ -38,12 +38,8 @@ def preprocess(cfg: ExperimentConfig, batch: jax.Array, key: jax.Array) -> jax.A
     return x
 
 
-def make_train_step(
-    model,
-    cfg: ExperimentConfig,
-    tx: optax.GradientTransformation,
-    donate: bool = True,
-) -> Callable:
+def _train_step_body(model, cfg: ExperimentConfig,
+                     tx: optax.GradientTransformation) -> Callable:
     prior = prior_for(cfg.model)
     k = cfg.model.n_samples
 
@@ -70,7 +66,40 @@ def make_train_step(
         out["loss"] = loss
         return new_state, out
 
+    return step
+
+
+def make_train_step(
+    model,
+    cfg: ExperimentConfig,
+    tx: optax.GradientTransformation,
+    donate: bool = True,
+) -> Callable:
+    step = _train_step_body(model, cfg, tx)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_train_step(
+    model,
+    cfg: ExperimentConfig,
+    tx: optax.GradientTransformation,
+    n_steps: int,
+    donate: bool = True,
+) -> Callable:
+    """``(state, batches[n, B, ...]) -> (state, last-step metrics)``.
+
+    ``lax.scan`` over ``n_steps`` updates in ONE dispatched program —
+    amortises the per-step host overhead (queue pull + enqueue) that caps
+    small models well below device speed. Exactly equivalent to n calls of
+    the single step: per-step RNG is derived from (rng, step), which the
+    scan carries forward (tested in tests/test_train.py)."""
+    step = _train_step_body(model, cfg, tx)
+
+    def multi(state: TrainState, batches: jax.Array):
+        new_state, metrics = jax.lax.scan(step, state, batches)
+        return new_state, jax.tree.map(lambda m: m[-1], metrics)
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(

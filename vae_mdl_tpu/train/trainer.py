@@ -22,7 +22,12 @@ from vae_mdl_tpu.data.pipeline import setup_data
 from vae_mdl_tpu.models.vae import VAE, build_model, prior_for
 from vae_mdl_tpu.train.checkpoint import Checkpointer
 from vae_mdl_tpu.train.state import TrainState, create_train_state, make_optimizer
-from vae_mdl_tpu.train.steps import make_eval_step, make_train_step, preprocess
+from vae_mdl_tpu.train.steps import (
+    make_eval_step,
+    make_multi_train_step,
+    make_train_step,
+    preprocess,
+)
 from vae_mdl_tpu.utils.images import fill_canvas
 from vae_mdl_tpu.utils.logging import MetricLogger
 
@@ -69,7 +74,17 @@ class Trainer:
 
             self.state = shard_state(mesh, self.state)
 
-        self.train_step = make_train_step(self.model, cfg, self.tx)
+        spc = cfg.train.steps_per_call
+        if spc > 1:
+            if cfg.train.eval_interval % spc or cfg.train.n_updates % spc:
+                raise ValueError(
+                    "steps_per_call must divide eval_interval and n_updates"
+                )
+            self.train_step = make_multi_train_step(self.model, cfg, self.tx,
+                                                    n_steps=spc)
+        else:
+            self.train_step = make_train_step(self.model, cfg, self.tx)
+        self.steps_per_call = spc
         self.eval_step = make_eval_step(self.model, cfg)
         self.logger = logger or MetricLogger(cfg.train.log_dir, cfg.model.name)
         self._report_jit = None
@@ -77,11 +92,14 @@ class Trainer:
 
     # ------------------------------------------------------------------ utils
 
-    def _put(self, batch: np.ndarray) -> jax.Array:
+    def _put(self, batch: np.ndarray, stacked: bool = False) -> jax.Array:
         if self.mesh is not None:
-            from vae_mdl_tpu.parallel.mesh import shard_batch
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-            return shard_batch(self.mesh, batch)
+            # stacked [spc, B, ...] scan inputs shard the BATCH axis (1),
+            # plain batches shard axis 0
+            spec = P(None, "data") if stacked else P("data")
+            return jax.device_put(batch, NamedSharding(self.mesh, spec))
         return jnp.asarray(batch)
 
     # ------------------------------------------------------------------ loop
@@ -104,8 +122,9 @@ class Trainer:
         )
         profile_at = int(self.state.step) + 3 if profile_dir else -1
 
+        spc = self.steps_per_call
         start_step = int(self.state.step)
-        steps = range(start_step, n_updates)
+        steps = range(start_step, n_updates, spc)
         if progress:
             try:
                 from tqdm import tqdm
@@ -117,18 +136,28 @@ class Trainer:
         if self._stream is None:
             from vae_mdl_tpu.data.pipeline import device_prefetch
 
-            self._stream = device_prefetch(self.train_iter, size=2,
-                                           put=self._put)
+            src = self.train_iter
+            if spc > 1:
+                # stack spc batches -> one [spc, B, ...] scan input
+                def stacked(it=src, n=spc):
+                    while True:
+                        yield np.stack([next(it) for _ in range(n)])
+
+                src = stacked()
+            put = (lambda b: self._put(b, stacked=True)) if spc > 1 else self._put
+            self._stream = device_prefetch(src, size=2, put=put)
 
         window_t0 = time.perf_counter()
         window_imgs = 0
+        window_steps = 0
         for i in steps:
             if i == profile_at:
                 jax.profiler.start_trace(profile_dir)
             batch = next(self._stream)
             self.state, metrics = self.train_step(self.state, batch)
-            window_imgs += batch.shape[0]
-            if profile_at >= 0 and i == profile_at + profile_steps:
+            window_imgs += batch.shape[0] * (batch.shape[1] if spc > 1 else 1)
+            window_steps += spc
+            if profile_at >= 0 and i >= profile_at + profile_steps:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 profile_at = -1
@@ -146,7 +175,7 @@ class Trainer:
                 self.logger.scalars(
                     i,
                     {"imgs_per_sec": imgs_per_sec,
-                     "step_ms": 1000.0 * dt / max(1, window_imgs // batch.shape[0])},
+                     "step_ms": 1000.0 * dt / max(1, window_steps)},
                     prefix="Perf",
                 )
                 self.report(i)
@@ -160,6 +189,7 @@ class Trainer:
 
                 window_t0 = time.perf_counter()
                 window_imgs = 0
+                window_steps = 0
 
         # final save so auto-resume continues from the true last step (the
         # reference only saves on eval intervals, trainer.py:10-15, losing
