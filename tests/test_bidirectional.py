@@ -1,0 +1,87 @@
+"""Bidirectional (top-down posterior) ladder VAE tests."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_mdl_tpu.models.bidirectional import BILADDER_SVHN, BiLadderConfig
+from vae_mdl_tpu.models.objective import compute_loss, log_weights
+from vae_mdl_tpu.models.vae import build_model, prior_for
+
+B, K = 2, 3
+
+
+def _small():
+    return BiLadderConfig(stages=((8, 4, 1, 2), (8, 4, 1, 2)), n_samples=2)
+
+
+def test_forward_shapes_and_loss():
+    cfg = BILADDER_SVHN
+    model = build_model(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (B, 32, 32, 3))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, 1
+    )
+    Qs, Ps, pxz = model.apply(params, x, K, rngs={"sample": jax.random.PRNGKey(2)})
+
+    assert len(Qs) == 3 and len(Ps) == 2
+    # bottom-first ordering; every z carries the importance axis
+    assert Qs[0].z.shape == (K, B, 16, 16, 24)
+    assert Qs[2].z.shape == (K, B, 4, 4, 8)
+    # the prior conditionals p(z_i | z_{i+1}) live at z_i's resolution
+    assert Ps[0].dist.loc.shape == (K, B, 16, 16, 24)
+
+    prior = prior_for(cfg)
+    loss, metrics = compute_loss(prior, Qs, Ps, pxz, x)
+    assert jnp.isfinite(loss)
+    assert log_weights(prior, Qs, Ps, pxz, x).shape == (K, B)
+
+
+def test_posterior_sees_data_and_context():
+    """The merge posterior must depend on BOTH x and the latent above."""
+    cfg = _small()
+    model = build_model(cfg)
+    x1 = jnp.zeros((B, 32, 32, 3))
+    x2 = jnp.ones((B, 32, 32, 3))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x1, 1
+    )
+    r = {"sample": jax.random.PRNGKey(2)}
+    Qs1, _, _ = model.apply(params, x1, 1, rngs=r)
+    Qs2, _, _ = model.apply(params, x2, 1, rngs=r)
+    # different data -> different bottom posterior locs
+    assert not np.allclose(np.asarray(Qs1[0].dist.loc), np.asarray(Qs2[0].dist.loc))
+
+
+def test_generate_and_training_step():
+    cfg = _small()
+    model = build_model(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (B, 32, 32, 3))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, 1
+    )
+    z_top = jax.random.normal(jax.random.PRNGKey(5), (B,) + cfg.top_latent_shape())
+    gen = model.apply(params, z_top, rngs={"sample": jax.random.PRNGKey(6)},
+                      method="generate")
+    assert gen.sample.shape == (B,) + cfg.image_shape
+
+    from vae_mdl_tpu.config import DataConfig, ExperimentConfig, TrainConfig
+    from vae_mdl_tpu.train.state import create_train_state, make_optimizer
+    from vae_mdl_tpu.train.steps import make_train_step
+
+    exp = ExperimentConfig(
+        model=cfg,
+        data=DataConfig(dataset="synthetic:svhn_cropped", batch_size=4),
+        train=TrainConfig(),
+    )
+    tx = make_optimizer(exp.train)
+    state = create_train_state(model, exp.train, jnp.zeros((4, 32, 32, 3)), 2)
+    step = make_train_step(model, exp, tx, donate=False)
+    batch = np.random.default_rng(0).integers(0, 256, (4, 32, 32, 3),
+                                              dtype=np.uint8)
+    losses = []
+    for _ in range(5):
+        state, m = step(state, jnp.asarray(batch))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]

@@ -1,0 +1,191 @@
+"""Bidirectional ladder VAE: top-down posterior with bottom-up merge.
+
+The simple conv ladder (models/ladder.py) parameterises q(z_i | z_{i-1})
+purely bottom-up. The stronger, standard hierarchical design (Ladder VAE,
+Sonderby et al. 2016; VDVAE) infers top-down:
+
+    bottom-up (deterministic):  h_1 .. h_L = EncoderBlocks(stem(x))
+    top level:                  q(z_L | h_L)
+    top-down, i = L-1 .. 1:     d_i     = upsample(z_{i+1})
+                                p(z_i | z_{i+1}) = prior head(d_i)
+                                q(z_i | x, z_{>i}) = merge head([h_i, d_i])
+    observation:                p(x | z_1)
+
+so every posterior sees both the data path and the generative context. The
+generic L-layer bound (models/losses.hierarchical_iwae_loss) applies
+unchanged — it only needs q/p evaluated at the inference samples.
+
+Built from the same nn blocks; importance samples ride as a leading axis on
+every z (the deterministic h_i are broadcast against it — no recompute).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vae_mdl_tpu.distributions import DistributionTuple, Normal
+from vae_mdl_tpu.nn.blocks import (
+    _KERNEL_INIT,
+    DecoderBlock,
+    EncoderBlock,
+    merge_leading,
+)
+from vae_mdl_tpu.nn.decoders import head_channels, make_observation
+
+_SPATIAL_AXES = (-1, -2, -3)
+
+# (hidden_width, latent_channels, n_blocks, scale_rate) per stochastic scale
+Stage = Tuple[int, int, int, int]
+
+
+@dataclasses.dataclass(frozen=True)
+class BiLadderConfig:
+    name: str = "biladder"
+    image_shape: Tuple[int, int, int] = (32, 32, 3)
+    stem_features: int = 32
+    stages: Tuple[Stage, ...] = ((48, 16, 1, 2), (48, 8, 1, 2))
+    n_samples: int = 5
+    likelihood: str = "dl"
+    bound_logstd: bool = False
+    n_mix: int = 5
+    rezero: bool = True
+    use_pallas: bool = False
+    compute_dtype: str = "float32"
+    beta: float = 1.0
+
+    @property
+    def n_stochastic(self) -> int:
+        return len(self.stages)
+
+    def top_latent_shape(self) -> Tuple[int, int, int]:
+        h, w, _ = self.image_shape
+        for (_, lat, _, rate) in self.stages:
+            h, w = h // rate, w // rate
+            c = lat
+        return (h, w, c)
+
+
+class _GaussianHead(nn.Module):
+    """conv -> (mu, softplus std) over spatial latents."""
+
+    channels: int
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jax.Array) -> Normal:
+        out = nn.Conv(2 * self.channels, (3, 3), padding="SAME",
+                      dtype=jnp.float32, kernel_init=_KERNEL_INIT)(
+            h.astype(jnp.float32))
+        mu, logstd = jnp.split(out, 2, axis=-1)
+        return Normal(mu, jax.nn.softplus(logstd), event_axes=_SPATIAL_AXES)
+
+
+class BiLadderVAE(nn.Module):
+    config: BiLadderConfig
+
+    def setup(self):
+        cfg = self.config
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            cfg.compute_dtype
+        ]
+        self._dtype = dtype
+        L = len(cfg.stages)
+
+        self.stem = nn.Conv(cfg.stem_features, (3, 3), padding="SAME",
+                            dtype=dtype, kernel_init=_KERNEL_INIT)
+        # bottom-up deterministic feature extractors
+        self.enc_blocks = tuple(
+            EncoderBlock(h, h, n, r, cfg.rezero, dtype, name=f"enc_{i}")
+            for i, (h, lat, n, r) in enumerate(cfg.stages)
+        )
+        # top posterior head
+        self.top_head = _GaussianHead(cfg.stages[-1][1], dtype, name="q_top")
+        # per lower scale: upsampler from z_{i+1}, prior head, merge head
+        ups, priors, merges = [], [], []
+        for i in range(L - 1):
+            h_w, lat, n_b, _ = cfg.stages[i]
+            rate_above = cfg.stages[i + 1][3]
+            ups.append(DecoderBlock(h_w, h_w, n_b, rate_above, cfg.rezero,
+                                    dtype, name=f"up_{i}"))
+            priors.append(_GaussianHead(lat, dtype, name=f"p_{i}"))
+            merges.append(_GaussianHead(lat, dtype, name=f"q_{i}"))
+        self.up_blocks = tuple(ups)
+        self.prior_heads = tuple(priors)
+        self.merge_heads = tuple(merges)
+
+        h0 = cfg.stages[0]
+        self.obs_up = DecoderBlock(h0[0], h0[0], h0[2], h0[3], cfg.rezero,
+                                   dtype, name="obs_up")
+        self.obs_head = nn.Conv(
+            head_channels(cfg.likelihood, cfg.image_shape[-1], cfg.n_mix),
+            (3, 3), padding="SAME", dtype=jnp.float32,
+            kernel_init=_KERNEL_INIT, name="obs_head",
+        )
+
+    # -- bottom-up deterministic path ---------------------------------------
+
+    def _features(self, x: jax.Array):
+        h = nn.gelu(self.stem(x.astype(self._dtype)))
+        hs = []
+        for block in self.enc_blocks:
+            h = block(h)
+            hs.append(h)
+        return hs  # scale i features at resolution of z_i
+
+    # -- full inference + generative pass ------------------------------------
+
+    def __call__(self, x: jax.Array, n_samples=None):
+        cfg = self.config
+        k = cfg.n_samples if n_samples is None else n_samples
+        L = len(cfg.stages)
+        hs = self._features(x)
+
+        q_top = self.top_head(hs[-1])
+        z = q_top.sample(self.make_rng("sample"), (k,))
+        Qs = [DistributionTuple(q_top, z, axes=_SPATIAL_AXES)]
+        Ps = []
+
+        for i in range(L - 2, -1, -1):
+            d = self.up_blocks[i](z)
+            p_i = self.prior_heads[i](d)
+            h_b = jnp.broadcast_to(hs[i], d.shape[:-1] + hs[i].shape[-1:])
+            q_i = self.merge_heads[i](jnp.concatenate([h_b, d], axis=-1))
+            z = q_i.sample(self.make_rng("sample"))
+            Qs.append(DistributionTuple(q_i, z, axes=_SPATIAL_AXES))
+            Ps.append(DistributionTuple(p_i, None, axes=_SPATIAL_AXES))
+
+        Qs = tuple(reversed(Qs))  # order 1..L (bottom first)
+        Ps = tuple(reversed(Ps))
+        pxz = self.decode(Qs[0].z)
+        return Qs, Ps, pxz
+
+    def decode(self, z1: jax.Array) -> DistributionTuple:
+        h = self.obs_up(z1)
+        out = self.obs_head(h.astype(jnp.float32))
+        pxz = make_observation(out, self.config.likelihood,
+                               self.config.bound_logstd,
+                               self.config.use_pallas)
+        return DistributionTuple(pxz, pxz.sample(self.make_rng("sample")),
+                                 axes=pxz.event_axes)
+
+    def generate(self, z_top: jax.Array) -> DistributionTuple:
+        z = z_top
+        for i in range(len(self.config.stages) - 2, -1, -1):
+            d = self.up_blocks[i](z)
+            z = self.prior_heads[i](d).sample(self.make_rng("sample"))
+        return self.decode(z)
+
+    def prior(self) -> Normal:
+        shape = self.config.top_latent_shape()
+        return Normal(jnp.zeros(shape), jnp.ones(shape),
+                      event_axes=_SPATIAL_AXES)
+
+
+BILADDER_SVHN = BiLadderConfig(
+    name="biladder_svhn",
+    stages=((48, 24, 2, 2), (48, 16, 1, 2), (48, 8, 1, 2)),
+)

@@ -184,18 +184,21 @@ class VAE(nn.Module):
 def prior_for(config) -> Normal:
     """Standard-normal prior over the top latent; parameter-free, so usable
     outside ``apply`` (e.g. inside jitted train steps). Dispatches on config
-    family (dense VAE vs conv ladder)."""
-    from vae_mdl_tpu.models.ladder import LadderConfig, ladder_prior
-
-    if isinstance(config, LadderConfig):
-        return ladder_prior(config)
+    family: spatial top latent (conv ladders) vs dense vector."""
+    if hasattr(config, "top_latent_shape"):
+        shape = config.top_latent_shape()
+        return Normal(jnp.zeros(shape), jnp.ones(shape),
+                      event_axes=(-1, -2, -3))
     n_top = config.latents()[-1]
     return Normal(jnp.zeros((n_top,)), jnp.ones((n_top,)), event_axes=_LATENT_AXES)
 
 
 def build_model(config):
+    from vae_mdl_tpu.models.bidirectional import BiLadderConfig, BiLadderVAE
     from vae_mdl_tpu.models.ladder import ConvLadderVAE, LadderConfig
 
+    if isinstance(config, BiLadderConfig):
+        return BiLadderVAE(config)
     if isinstance(config, LadderConfig):
         return ConvLadderVAE(config)
     return VAE(config)

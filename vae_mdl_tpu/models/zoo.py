@@ -157,11 +157,12 @@ DIGITS = ModelConfig(
     decoder=DecoderConfig(kind="mlp", n_hidden=128, activation="tanh"),
 )
 
+from vae_mdl_tpu.models.bidirectional import BILADDER_SVHN  # noqa: E402
 from vae_mdl_tpu.models.ladder import LADDER_SVHN  # noqa: E402
 
 MODELS = {m.name: m for m in
           (MODEL01, MODEL02, MODEL03, MODEL04, MODEL05, MODEL06, LADDER_SVHN,
-           DIGITS)}
+           BILADDER_SVHN, DIGITS)}
 
 _DATASETS = {
     "model01": "mnist",
@@ -171,6 +172,7 @@ _DATASETS = {
     "model05": "svhn_cropped",
     "model06": "svhn_cropped",
     "ladder_svhn": "svhn_cropped",
+    "biladder_svhn": "svhn_cropped",
     "digits": "digits",
 }
 
@@ -184,6 +186,7 @@ _N_UPDATES = {
     "model05": 100_000,
     "model06": 100_000,
     "ladder_svhn": 100_000,
+    "biladder_svhn": 100_000,
     "digits": 20_000,
 }
 
