@@ -34,6 +34,8 @@ def main():
     from vae_mdl_tpu.train.state import create_train_state, make_optimizer
     from vae_mdl_tpu.train.steps import make_train_step
 
+    from vae_mdl_tpu.train.steps import make_multi_train_step
+
     cfg = experiment("model05")
     cfg = dataclasses.replace(
         cfg, data=DataConfig(dataset="synthetic:svhn_cropped")
@@ -44,24 +46,30 @@ def main():
 
     x_f32 = jnp.zeros((batch_size, 32, 32, 3), jnp.float32)
     state = create_train_state(model, cfg.train, x_f32, cfg.model.n_samples)
-    train_step = make_train_step(model, cfg, tx)
+
+    # sustained training throughput: 10 optimizer steps per dispatched
+    # program (trainer's steps_per_call), hiding per-dispatch tunnel latency
+    spc = 10
+    train_step = make_multi_train_step(model, cfg, tx, n_steps=spc)
 
     rng = np.random.default_rng(0)
-    batch = jnp.asarray(rng.integers(0, 256, (batch_size, 32, 32, 3), dtype=np.uint8))
+    batch = jnp.asarray(
+        rng.integers(0, 256, (spc, batch_size, 32, 32, 3), dtype=np.uint8)
+    )
 
     # warmup / compile
-    for _ in range(3):
+    for _ in range(2):
         state, metrics = train_step(state, batch)
     jax.block_until_ready(metrics["loss"])
 
-    n_steps = 50
+    n_iters = 5
     t0 = time.perf_counter()
-    for _ in range(n_steps):
+    for _ in range(n_iters):
         state, metrics = train_step(state, batch)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    imgs_per_sec = n_steps * batch_size / dt
+    imgs_per_sec = n_iters * spc * batch_size / dt
     print(
         json.dumps(
             {
