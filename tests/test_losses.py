@@ -234,3 +234,30 @@ class TestHierarchical:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_beta_scales_kl_at_every_depth():
+    """Regression: beta must reach the bound at depths 1, 2, and 3 (depth 2
+    previously ignored it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_mdl_tpu.models import MODELS, build_model, compute_loss
+    from vae_mdl_tpu.models.vae import prior_for
+    import dataclasses
+
+    for name, depth in (("model01", 1), ("model06", 2)):
+        cfg = dataclasses.replace(MODELS[name], n_stochastic=depth)
+        model = build_model(cfg)
+        h, w, c = cfg.image_shape
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, h, w, c))
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            x, 1,
+        )
+        Qs, Ps, pxz = model.apply(params, x, 2,
+                                  rngs={"sample": jax.random.PRNGKey(2)})
+        prior = prior_for(cfg)
+        l1, _ = compute_loss(prior, Qs, Ps, pxz, x, beta=1.0)
+        l0, _ = compute_loss(prior, Qs, Ps, pxz, x, beta=0.0)
+        assert not jnp.allclose(l0, l1), f"beta ignored at depth {depth}"

@@ -132,3 +132,36 @@ def test_shard_map_step_trains_and_stays_replicated():
     # output state must be fully replicated (one shard == global value)
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_trainer_and_eval_handle_indivisible_batches_under_mesh():
+    """Regression: val sets / eval batch sizes that don't divide the data
+    axis (e.g. digits' 297-image val set) must be rounded, not crash."""
+    import dataclasses, tempfile
+
+    from vae_mdl_tpu.config import DataConfig, TrainConfig
+    from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.train.trainer import Trainer
+
+    tmp = tempfile.mkdtemp()
+    cfg = experiment("digits")  # val split has 297 images
+    cfg = dataclasses.replace(
+        cfg,
+        data=DataConfig(dataset="digits", batch_size=16, val_batch_size=500),
+        train=TrainConfig(n_updates=2, eval_interval=1,
+                          checkpoint_dir=tmp + "/c", log_dir=tmp + "/l"),
+    )
+    mesh = make_mesh(MeshConfig(data=8, sample=1))
+    tr = Trainer(cfg, mesh=mesh)
+    state = tr.fit(progress=False)
+    assert int(state.step) == 2
+
+    from vae_mdl_tpu.evaluation import evaluate_llh
+
+    imgs = np.random.default_rng(0).integers(0, 256, (13, 16, 16, 1),
+                                             dtype=np.uint8)
+    _, per_image, _ = evaluate_llh(
+        tr.model, cfg, tr.state.params, imgs, n_samples=8, k_chunk=4,
+        batch_size=10, mesh=mesh, progress=False,
+    )
+    assert per_image.shape == (13,)

@@ -74,12 +74,14 @@ def count_records(path: str) -> Optional[int]:
 
 
 def parse_celeba_file(
-    path: str, max_side: int = 1024
+    path: str, max_side: int = 256
 ) -> Optional[List[Tuple[np.ndarray, int]]]:
     """Parse one Glow-CelebA TFRecord shard natively.
 
     Returns [(uint8 image [H,W,C], label)] or None when the native path is
-    unavailable (caller falls back to data.tfrecord).
+    unavailable (caller falls back to data.tfrecord). The per-record buffer
+    starts at ``max_side``² (Glow shards are 256x256) and doubles on the
+    C core's too-small error instead of preallocating worst-case.
     """
     lib = get_lib()
     if lib is None:
@@ -88,18 +90,22 @@ def parse_celeba_file(
     if n <= 0:
         return None if n < 0 else []
 
-    img_bytes = max_side * max_side * 3
-    imgs = np.empty((n, img_bytes), dtype=np.uint8)
-    shapes = np.empty((n, 3), dtype=np.int64)
-    labels = np.empty((n,), dtype=np.int64)
-    got = lib.parse_celeba_tfrecord(
-        path.encode(),
-        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        shapes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n,
-        img_bytes,
-    )
+    got = -5
+    while got == -5 and max_side <= 4096:  # -5: record larger than buffer
+        img_bytes = max_side * max_side * 3
+        imgs = np.empty((n, img_bytes), dtype=np.uint8)
+        shapes = np.empty((n, 3), dtype=np.int64)
+        labels = np.empty((n,), dtype=np.int64)
+        got = lib.parse_celeba_tfrecord(
+            path.encode(),
+            imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            shapes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            img_bytes,
+        )
+        if got == -5:
+            max_side *= 2
     if got < 0:
         return None
     out = []

@@ -123,9 +123,12 @@ def setup_data(
     process_index: int = 0,
     process_count: int = 1,
     allow_synthetic_fallback: bool = True,
+    batch_multiple: int = 1,
 ):
     """(train_iter, val_iter, test arrays) — reference API shape
-    (utils/data.py:19-46); iterators yield uint8 numpy image batches."""
+    (utils/data.py:19-46); iterators yield uint8 numpy image batches.
+    ``batch_multiple``: keep (clamped) batch sizes divisible by the mesh's
+    data axis so sharded device_put never sees a ragged batch."""
     splits = make_splits(dataset, data_dir, allow_synthetic_fallback)
     train = shard_arrays(splits.train, process_index, process_count)
     val = shard_arrays(splits.val, process_index, process_count)
@@ -133,6 +136,7 @@ def setup_data(
     # reference val batching: mnist uses the whole val set as ONE batch
     # (models/model01.py:55-63); others use val_batch_size=500
     vbs = min(val_batch_size, len(val[0]))
+    vbs = max(batch_multiple, vbs // batch_multiple * batch_multiple)
 
     train_iter = epoch_batches(train, batch_size, seed, shuffle=True)
     val_iter = epoch_batches(val, vbs, seed + 1, shuffle=False)

@@ -63,8 +63,13 @@ def make_batch_evaluator(
 
         keys = jax.random.split(jax.random.fold_in(key, 1), n_chunks)
 
+        from vae_mdl_tpu.ops.math import (
+            streaming_logmeanexp_finalize,
+            streaming_logmeanexp_init,
+            streaming_logmeanexp_update,
+        )
+
         def chunk(carry, k_key):
-            m, s = carry
             Qs, Ps, pxz = model.apply(params, x, k_chunk, rngs={"sample": k_key})
             log_w = log_weights(prior, Qs, Ps, pxz, x)  # [k_chunk, B]
             if mesh is not None:
@@ -73,16 +78,11 @@ def make_batch_evaluator(
                 log_w = jax.lax.with_sharding_constraint(
                     log_w, jax.sharding.NamedSharding(mesh, P("sample", "data"))
                 )
-            chunk_max = jnp.max(log_w, axis=0)
-            new_m = jnp.maximum(m, chunk_max)
-            s = s * jnp.exp(jnp.where(jnp.isneginf(m), -jnp.inf, m - new_m))
-            s = s + jnp.sum(jnp.exp(log_w - new_m[None]), axis=0)
-            return (new_m, s), None
+            return streaming_logmeanexp_update(carry, log_w, axis=0), None
 
-        b = x.shape[0]
-        init = (jnp.full((b,), -jnp.inf), jnp.zeros((b,)))
-        (m, s), _ = jax.lax.scan(chunk, init, keys)
-        return m + jnp.log(s) - math.log(n_samples)  # logmeanexp over all k
+        init = streaming_logmeanexp_init((x.shape[0],))
+        state, _ = jax.lax.scan(chunk, init, keys)
+        return streaming_logmeanexp_finalize(state)
 
     return jax.jit(batch_llh)
 
@@ -100,6 +100,10 @@ def evaluate_llh(
     progress: bool = True,
 ) -> Tuple[float, np.ndarray, dict]:
     """Full test-set 5000-IS log-likelihood (reference README's −85.02)."""
+    if mesh is not None:
+        # batches shard over the data axis; keep them evenly divisible
+        d_axis = mesh.shape["data"]
+        batch_size = max(d_axis, batch_size // d_axis * d_axis)
     evaluator = make_batch_evaluator(model, cfg, n_samples, k_chunk, mesh)
     key = jax.random.PRNGKey(seed)
 

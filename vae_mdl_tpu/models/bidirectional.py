@@ -163,6 +163,14 @@ class BiLadderVAE(nn.Module):
         pxz = self.decode(Qs[0].z)
         return Qs, Ps, pxz
 
+    def encode(self, x: jax.Array, n_samples: int = 1):
+        """Posterior chain q(z_1|x, z_>1) .. q(z_L|h_L) with samples — runs
+        the full top-down inference (the posterior conditions on the
+        generative path by design), matching the other families' serving
+        surface (models/inference.make_encoder_fn)."""
+        Qs, _, _ = self(x, n_samples)
+        return Qs
+
     def decode(self, z1: jax.Array) -> DistributionTuple:
         h = self.obs_up(z1)
         out = self.obs_head(h.astype(jnp.float32))

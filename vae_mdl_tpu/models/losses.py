@@ -35,11 +35,13 @@ def _reduce(dist, value: jax.Array, axes=None) -> jax.Array:
     return jnp.sum(dist.log_prob(value), axis=axes)
 
 
-def _bits_per_dim(iwae_elbo: jax.Array, x: jax.Array, n_event_dims: int) -> jax.Array:
-    """-elbo / (log 2 * dims(x)); the reference computes dims from the
-    observation's event shape (models/loss.py:42, model06.py:55)."""
+def _bits_per_dim(iwae_elbo: jax.Array, x: jax.Array) -> jax.Array:
+    """-elbo / (log 2 * dims(x)) over ALL non-batch dims of the observation
+    (reference formula models/loss.py:42; counting from x rather than from
+    the event axes keeps per-pixel likelihoods like pmdl correct — their
+    event axes index the log-prob array, not x)."""
     n_dims = 1.0
-    for s in x.shape[-n_event_dims:]:
+    for s in x.shape[1:]:
         n_dims *= s
     return -iwae_elbo / (_LOG2 * n_dims)
 
@@ -59,7 +61,7 @@ def iwae_loss(x, z, pz, qzx, pxz, beta: float = 1.0) -> Tuple[jax.Array, Metrics
 
     # logmeanexp over importance samples, mean over batch
     iwae_elbo = jnp.mean(logmeanexp(log_w, axis=0), axis=-1)
-    bpd = _bits_per_dim(iwae_elbo, x, len(pxz.event_axes))
+    bpd = _bits_per_dim(iwae_elbo, x)
     kl = -jnp.mean(lpz - lqzx, axis=0)
 
     return -iwae_elbo, {
@@ -83,12 +85,14 @@ def elbo_loss(x, z, pz, qzx, pxz) -> Tuple[jax.Array, Metrics]:
     return -elbo, {"loss": -elbo, "lpxz": lpxz}
 
 
-def two_layer_iwae_loss(x, pz, qz1x, qz2z1, pz1z2, pxz1) -> Tuple[jax.Array, Metrics]:
+def two_layer_iwae_loss(
+    x, pz, qz1x, qz2z1, pz1z2, pxz1, beta: float = 1.0
+) -> Tuple[jax.Array, Metrics]:
     """Spelled-out two-stochastic-layer bound.
 
     Arguments are ``DistributionTuple``s except ``pz`` (top prior
     distribution). Parity: /root/reference/models/model06.py:38-72, including
-    per-layer KL metrics.
+    per-layer KL metrics (the reference hardcodes beta=1).
     """
     lqz2z1 = _reduce(qz2z1.dist, qz2z1.z, qz2z1.axes)
     lqz1x = _reduce(qz1x.dist, qz1x.z, qz1x.axes)
@@ -97,10 +101,10 @@ def two_layer_iwae_loss(x, pz, qz1x, qz2z1, pz1z2, pxz1) -> Tuple[jax.Array, Met
     lpz1z2 = _reduce(pz1z2.dist, qz1x.z, qz1x.axes)
     lpxz = _reduce(pxz1.dist, x, pxz1.axes)
 
-    log_w = lpxz + (lpz2 - lqz2z1) + (lpz1z2 - lqz1x)
+    log_w = lpxz + beta * ((lpz2 - lqz2z1) + (lpz1z2 - lqz1x))
 
     iwae_elbo = jnp.mean(logmeanexp(log_w, axis=0), axis=-1)
-    bpd = _bits_per_dim(iwae_elbo, x, len(pxz1.axes))
+    bpd = _bits_per_dim(iwae_elbo, x)
 
     kl1 = -jnp.mean(lpz1z2 - lqz1x, axis=0)
     kl2 = -jnp.mean(lpz2 - lqz2z1, axis=0)
@@ -167,7 +171,7 @@ def hierarchical_iwae_loss(
     log_w = lpxz + beta * sum(kls)
 
     iwae_elbo = jnp.mean(logmeanexp(log_w, axis=0), axis=-1)
-    bpd = _bits_per_dim(iwae_elbo, x, len(pxz.axes))
+    bpd = _bits_per_dim(iwae_elbo, x)
 
     return -iwae_elbo, {
         "iwae_elbo": iwae_elbo,

@@ -61,7 +61,8 @@ def compute_loss(
     if L == 1:
         return iwae_loss(x, Qs[0].z, prior, Qs[0].dist, pxz.dist, beta=beta)
     if L == 2:
-        return two_layer_iwae_loss(x, prior, Qs[0], Qs[1], Ps[0], pxz)
+        return two_layer_iwae_loss(x, prior, Qs[0], Qs[1], Ps[0], pxz,
+                                   beta=beta)
     return hierarchical_iwae_loss(
         x,
         Qs,

@@ -80,6 +80,7 @@ class VAE(nn.Module):
                 n_hidden=cfg.decoder.n_hidden,
                 activation=cfg.decoder.activation,
                 likelihood=cfg.likelihood,
+                n_mix=cfg.n_mix,
                 bound_logstd=cfg.bound_logstd,
                 use_pallas=cfg.use_pallas,
                 dtype=dtype,

@@ -96,6 +96,7 @@ class MLPDecoder(nn.Module):
     n_hidden: int = 200
     activation: str = "tanh"
     likelihood: str = "bernoulli"
+    n_mix: int = 5
     bound_logstd: bool = False
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
@@ -104,14 +105,14 @@ class MLPDecoder(nn.Module):
     def __call__(self, z: jax.Array) -> Obs:
         act = _activation(self.activation)
         h, w, c = self.out_shape
-        n_out = h * w * head_channels(self.likelihood, c, 0)
+        n_out = h * w * head_channels(self.likelihood, c, self.n_mix)
         x = act(nn.Dense(self.n_hidden, dtype=self.dtype, kernel_init=_KERNEL_INIT)(z))
         x = act(nn.Dense(self.n_hidden, dtype=self.dtype, kernel_init=_KERNEL_INIT)(x))
         # output layer in f32; its bias is the canvas-mean init target
         # (/root/reference/models/model01.py:294-301 -> train.state.init_output_bias)
         out = nn.Dense(n_out, dtype=jnp.float32, kernel_init=_KERNEL_INIT,
                        name="out")(x.astype(jnp.float32))
-        img_c = head_channels(self.likelihood, c, 0)
+        img_c = head_channels(self.likelihood, c, self.n_mix)
         out = out.reshape(z.shape[:-1] + (h, w, img_c))
         return make_observation(out, self.likelihood, self.bound_logstd,
                                 self.use_pallas)

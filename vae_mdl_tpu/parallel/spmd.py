@@ -59,7 +59,8 @@ def make_shard_map_train_step(
         def loss_fn(params):
             Qs, Ps, pxz = model.apply(params, x, k,
                                       rngs={"sample": rngs["sample"]})
-            return compute_loss(prior, Qs, Ps, pxz, x)
+            return compute_loss(prior, Qs, Ps, pxz, x,
+                                beta=cfg.model.beta)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

@@ -28,12 +28,20 @@ class TrainState:
     best_val_loss: jax.Array  # f32 scalar; +inf at init
 
     def next_rngs(self, *streams: str):
-        """Per-step, per-stream keys: fold_in(step) then split — fully
-        deterministic, no state mutation (replaces the reference's stateful
-        TF seeds)."""
+        """Per-step, per-stream keys: fold_in(step), then fold_in a stable
+        hash of the stream NAME — fully deterministic, no state mutation
+        (replaces the reference's stateful TF seeds). Folding the name in
+        (rather than splitting positionally) guarantees distinct streams
+        (train vs eval vs report) never share randomness at the same step."""
+        import zlib
+
         step_key = jax.random.fold_in(self.rng, self.step)
-        keys = jax.random.split(step_key, len(streams))
-        return dict(zip(streams, keys))
+        return {
+            name: jax.random.fold_in(
+                step_key, zlib.crc32(name.encode()) & 0x7FFFFFFF
+            )
+            for name in streams
+        }
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:

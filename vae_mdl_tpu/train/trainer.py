@@ -44,15 +44,25 @@ class Trainer:
         self.mesh = mesh
         self.model: VAE = build_model(cfg.model)
 
+        # batch shapes must divide the data mesh axis (GSPMD shards axis 0)
+        d_axis = mesh.shape["data"] if mesh is not None else 1
+        if cfg.data.batch_size % d_axis:
+            raise ValueError(
+                f"batch_size {cfg.data.batch_size} not divisible by the "
+                f"mesh data axis ({d_axis})"
+            )
+        val_bs = max(d_axis, cfg.data.val_batch_size // d_axis * d_axis)
+
         if data is None:
             data = setup_data(
                 cfg.data.dataset,
                 cfg.data.data_dir,
                 cfg.data.batch_size,
-                cfg.data.val_batch_size,
+                val_bs,
                 seed=cfg.data.seed,
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
+                batch_multiple=d_axis,
             )
         self.train_iter, self.val_iter, self.test_set = data
 
@@ -120,7 +130,11 @@ class Trainer:
         eval_interval = (
             eval_interval if eval_interval is not None else cfg.train.eval_interval
         )
-        profile_at = int(self.state.step) + 3 if profile_dir else -1
+        # profile start/stop aligned to loop iteration values (stride = spc)
+        profile_at = (
+            int(self.state.step) + self.steps_per_call if profile_dir else -1
+        )
+        profiling = False
 
         spc = self.steps_per_call
         start_step = int(self.state.step)
@@ -153,14 +167,15 @@ class Trainer:
         for i in steps:
             if i == profile_at:
                 jax.profiler.start_trace(profile_dir)
+                profiling = True
             batch = next(self._stream)
             self.state, metrics = self.train_step(self.state, batch)
             window_imgs += batch.shape[0] * (batch.shape[1] if spc > 1 else 1)
             window_steps += spc
-            if profile_at >= 0 and i >= profile_at + profile_steps:
+            if profiling and i >= profile_at + profile_steps:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
-                profile_at = -1
+                profiling = False
                 print(f"[trainer] wrote profiler trace to {profile_dir}")
 
             if i % eval_interval == 0:
@@ -190,6 +205,10 @@ class Trainer:
                 window_t0 = time.perf_counter()
                 window_imgs = 0
                 window_steps = 0
+
+        if profiling:  # run ended before profile_steps elapsed
+            jax.profiler.stop_trace()
+            print(f"[trainer] wrote profiler trace to {profile_dir}")
 
         # final save so auto-resume continues from the true last step (the
         # reference only saves on eval intervals, trainer.py:10-15, losing
