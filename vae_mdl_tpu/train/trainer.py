@@ -258,6 +258,24 @@ class Trainer:
         self.logger.image(step, "samples", fill_canvas(np.asarray(samples), n_grid))
 
 
+    # ------------------------------------------------------------------ test
+
+    def test(self, n_samples: int = 5000, ckpt: str = "best", **kwargs):
+        """Reference ``model.test(n_samples)`` parity
+        (/root/reference/models/model01.py:196-204): restore the requested
+        checkpoint and run the importance-weighted test evaluation.
+        Returns (mean_llh, per_image_llh, metrics)."""
+        from vae_mdl_tpu.evaluation import evaluate_llh
+
+        state = self.state
+        if ckpt and self.ckpt.has(ckpt):
+            state = self.ckpt.restore(self.state, ckpt)
+        return evaluate_llh(
+            self.model, self.cfg, state.params, self.test_set[0],
+            n_samples=n_samples, mesh=self.mesh, **kwargs,
+        )
+
+
 def _obs_mean(dist):
     """Posterior-mean image for reporting; MoDL's Monte-Carlo mean uses a
     fixed key (reference parity: utils/mdl.py:254-255, 100 samples)."""
