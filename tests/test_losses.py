@@ -261,3 +261,34 @@ def test_beta_scales_kl_at_every_depth():
         l1, _ = compute_loss(prior, Qs, Ps, pxz, x, beta=1.0)
         l0, _ = compute_loss(prior, Qs, Ps, pxz, x, beta=0.0)
         assert not jnp.allclose(l0, l1), f"beta ignored at depth {depth}"
+
+
+def test_elbo_objective_at_any_depth():
+    """objective='elbo' trains the plain bound; equals iwae at k=1."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from vae_mdl_tpu.models import MODELS, build_model, compute_loss
+    from vae_mdl_tpu.models.vae import prior_for
+
+    cfg = MODELS["model06"]
+    model = build_model(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, 1
+    )
+    prior = prior_for(cfg)
+
+    # k=1: iwae == elbo exactly
+    Qs, Ps, pxz = model.apply(params, x, 1, rngs={"sample": jax.random.PRNGKey(2)})
+    li, _ = compute_loss(prior, Qs, Ps, pxz, x, objective="iwae")
+    le, _ = compute_loss(prior, Qs, Ps, pxz, x, objective="elbo")
+    assert jnp.allclose(li, le, rtol=1e-5)
+
+    # k>1: elbo <= iwae bound (iwae loss <= elbo loss)
+    Qs, Ps, pxz = model.apply(params, x, 4, rngs={"sample": jax.random.PRNGKey(3)})
+    li, _ = compute_loss(prior, Qs, Ps, pxz, x, objective="iwae")
+    le, _ = compute_loss(prior, Qs, Ps, pxz, x, objective="elbo")
+    assert float(li) <= float(le) + 1e-4

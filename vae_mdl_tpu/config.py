@@ -76,6 +76,7 @@ class ModelConfig:
     compute_dtype: str = "float32"  # "bfloat16" for the conv/matmul body
     use_pallas: bool = False  # fused Pallas likelihood kernels (dl/mdl)
     beta: float = 1.0  # KL weight in the bound (reference always 1.0)
+    objective: str = "iwae"  # "iwae" | "elbo" (reference exports both)
 
     def latents(self) -> Tuple[int, ...]:
         return self.latent_sizes or (self.n_latent,) * self.n_stochastic

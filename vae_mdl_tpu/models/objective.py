@@ -56,7 +56,22 @@ def compute_loss(
     pxz: DistributionTuple,
     x: jax.Array,
     beta: float = 1.0,
+    objective: str = "iwae",
 ) -> Tuple[jax.Array, Metrics]:
+    if objective == "elbo":
+        # plain ELBO at any depth: mean over importance samples instead of
+        # logmeanexp (reference elbo_loss, models/loss.py:58-70, generalised)
+        import math
+
+        import jax.numpy as jnp
+
+        lw = log_weights(prior, Qs, Ps, pxz, x, beta=beta)
+        elbo = jnp.mean(lw)
+        n_dims = 1.0
+        for s in x.shape[1:]:
+            n_dims *= s
+        bpd = -elbo / (math.log(2.0) * n_dims)
+        return -elbo, {"elbo": elbo, "bpd": bpd, "loss": -elbo}
     L = len(Qs)
     if L == 1:
         return iwae_loss(x, Qs[0].z, prior, Qs[0].dist, pxz.dist, beta=beta)

@@ -52,7 +52,9 @@ def _train_step_body(model, cfg: ExperimentConfig,
                 params, x, k, rngs={"sample": rngs["sample"]}
             )
             return compute_loss(prior, Qs, Ps, pxz, x,
-                                beta=cfg.model.beta)
+                                beta=cfg.model.beta,
+                                objective=getattr(cfg.model, "objective",
+                                                  "iwae"))
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -117,7 +119,9 @@ def make_eval_step(
             state.params, x, k, rngs={"sample": rngs["eval_sample"]}
         )
         loss, metrics = compute_loss(prior, Qs, Ps, pxz, x,
-                                     beta=cfg.model.beta)
+                                     beta=cfg.model.beta,
+                                     objective=getattr(cfg.model, "objective",
+                                                       "iwae"))
         out = _scalarize(metrics)
         out["loss"] = loss
         return out
