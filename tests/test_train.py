@@ -186,3 +186,28 @@ def test_trainer_steps_per_call():
     tr = Trainer(cfg)
     state = tr.fit(progress=False)
     assert int(state.step) == 20
+
+
+def test_device_dataset_training():
+    """Device-resident dataset: trains, improves, and resumes like the
+    host-pipeline path."""
+    tmp = tempfile.mkdtemp()
+    cfg = _tiny_cfg(tmp, n_updates=30, eval_interval=15)
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(cfg.train, steps_per_call=5,
+                                  device_dataset=True),
+    )
+    tr = Trainer(cfg)
+    from vae_mdl_tpu.train.steps import make_eval_step
+
+    eval_step = make_eval_step(tr.model, cfg)
+    batch = jnp.asarray(next(tr.val_iter))
+    before = float(eval_step(tr.state, batch)["loss"])
+    state = tr.fit(progress=False)
+    after = float(eval_step(state, batch)["loss"])
+    assert int(state.step) == 30
+    assert after < before
+
+    tr2 = Trainer(cfg)
+    assert int(tr2.state.step) == 30

@@ -85,11 +85,30 @@ class Trainer:
             self.state = shard_state(mesh, self.state)
 
         spc = cfg.train.steps_per_call
-        if spc > 1:
-            if cfg.train.eval_interval % spc or cfg.train.n_updates % spc:
-                raise ValueError(
-                    "steps_per_call must divide eval_interval and n_updates"
-                )
+        if spc > 1 and (cfg.train.eval_interval % spc or
+                        cfg.train.n_updates % spc):
+            raise ValueError(
+                "steps_per_call must divide eval_interval and n_updates"
+            )
+        self._device_data = None
+        if cfg.train.device_dataset:
+            from vae_mdl_tpu.data.pipeline import make_splits, shard_arrays
+            from vae_mdl_tpu.train.steps import make_device_data_train_step
+
+            splits = make_splits(cfg.data.dataset, cfg.data.data_dir)
+            train_x, _ = shard_arrays(splits.train, jax.process_index(),
+                                      jax.process_count())
+            self._device_data = jax.device_put(
+                train_x,
+                (None if mesh is None else
+                 __import__("jax").sharding.NamedSharding(
+                     mesh, __import__("jax").sharding.PartitionSpec())),
+            )
+            self.train_step = make_device_data_train_step(
+                self.model, cfg, self.tx, n_steps=spc,
+                n_data=len(train_x), mesh=mesh,
+            )
+        elif spc > 1:
             self.train_step = make_multi_train_step(self.model, cfg, self.tx,
                                                     n_steps=spc)
         else:
@@ -147,7 +166,7 @@ class Trainer:
             except ImportError:
                 pass
 
-        if self._stream is None:
+        if self._stream is None and self._device_data is None:
             from vae_mdl_tpu.data.pipeline import device_prefetch
 
             src = self.train_iter
@@ -168,9 +187,17 @@ class Trainer:
             if i == profile_at:
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
-            batch = next(self._stream)
-            self.state, metrics = self.train_step(self.state, batch)
-            window_imgs += batch.shape[0] * (batch.shape[1] if spc > 1 else 1)
+            if self._device_data is not None:
+                self.state, metrics = self.train_step(
+                    self.state, self._device_data
+                )
+                window_imgs += spc * cfg.data.batch_size
+            else:
+                batch = next(self._stream)
+                self.state, metrics = self.train_step(self.state, batch)
+                window_imgs += batch.shape[0] * (
+                    batch.shape[1] if spc > 1 else 1
+                )
             window_steps += spc
             if profiling and i >= profile_at + profile_steps:
                 jax.block_until_ready(metrics["loss"])
