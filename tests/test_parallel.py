@@ -165,3 +165,28 @@ def test_trainer_and_eval_handle_indivisible_batches_under_mesh():
         batch_size=10, mesh=mesh, progress=False,
     )
     assert per_image.shape == (13,)
+
+
+def test_device_dataset_under_mesh():
+    """Device-resident dataset + data-parallel mesh: batches gathered on
+    device are resharded over the data axis."""
+    import dataclasses, tempfile
+
+    from vae_mdl_tpu.config import DataConfig, TrainConfig
+    from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.train.trainer import Trainer
+
+    tmp = tempfile.mkdtemp()
+    cfg = experiment("model01")
+    cfg = dataclasses.replace(
+        cfg,
+        data=DataConfig(dataset="synthetic:mnist", batch_size=16,
+                        val_batch_size=32),
+        train=TrainConfig(n_updates=4, eval_interval=2, steps_per_call=2,
+                          device_dataset=True,
+                          checkpoint_dir=tmp + "/c", log_dir=tmp + "/l"),
+    )
+    mesh = make_mesh(MeshConfig(data=8, sample=1))
+    tr = Trainer(cfg, mesh=mesh)
+    state = tr.fit(progress=False)
+    assert int(state.step) == 4

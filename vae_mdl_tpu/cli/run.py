@@ -47,6 +47,10 @@ def _apply_overrides(cfg, args):
         model = dataclasses.replace(model, use_pallas=True)
     if args.no_resume:
         train = dataclasses.replace(train, resume=False)
+    if getattr(args, "steps_per_call", None):
+        train = dataclasses.replace(train, steps_per_call=args.steps_per_call)
+    if getattr(args, "device_dataset", False):
+        train = dataclasses.replace(train, device_dataset=True)
     return dataclasses.replace(cfg, model=model, data=data, train=train)
 
 
@@ -225,6 +229,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--no-resume", action="store_true")
         sp.add_argument("--profile", metavar="DIR",
                         help="capture a jax.profiler trace of ~20 steps")
+        sp.add_argument("--steps-per-call", type=int,
+                        help="scan N updates per dispatched program")
+        sp.add_argument("--device-dataset", action="store_true",
+                        help="keep the whole train split in HBM (small sets)")
 
     sp_train = sub.add_parser("train", help="train + final 5000-IS eval + assets")
     common(sp_train)
