@@ -24,22 +24,33 @@ from vae_mdl_tpu.train.state import TrainState
 
 
 class Checkpointer:
-    def __init__(self, directory: str, name: str):
+    def __init__(self, directory: str, name: str, async_save: bool = True):
         self.base = os.path.abspath(os.path.join(directory, name))
         os.makedirs(self.base, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self._async = async_save
 
     def _path(self, tag: str) -> str:
         return os.path.join(self.base, tag)
 
     def save(self, state: TrainState, tag: str = "latest") -> None:
+        """Async by default: Orbax serialises in the background while
+        training continues; the next save (or ``wait``) joins it. The
+        on-disk checkpoint is only renamed into place when complete, so a
+        crash mid-save leaves the previous checkpoint intact."""
         self._ckptr.save(self._path(tag), state, force=True)
+        if not self._async:
+            self._ckptr.wait_until_finished()
+
+    def wait(self) -> None:
         self._ckptr.wait_until_finished()
 
     def restore(self, target: TrainState, tag: str = "latest") -> TrainState:
+        self.wait()  # join any in-flight save of the same tag
         return self._ckptr.restore(self._path(tag), target)
 
     def has(self, tag: str) -> bool:
+        self.wait()
         return os.path.isdir(self._path(tag))
 
     def restore_latest(self, target: TrainState) -> Optional[TrainState]:

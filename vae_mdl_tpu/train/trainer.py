@@ -242,6 +242,7 @@ class Trainer:
         # the tail of the run)
         jax.block_until_ready(self.state.params)
         self.ckpt.save(self.state, "latest")
+        self.ckpt.wait()  # join in-flight async saves before returning
         return self.state
 
     # ------------------------------------------------------------------ report
