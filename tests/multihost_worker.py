@@ -1,0 +1,85 @@
+"""Worker script for the two-process multi-host test (test_multihost.py).
+
+Each process owns 4 virtual CPU devices (8 global), initialises
+jax.distributed against a localhost coordinator, feeds its OWN disjoint data
+shard, and runs the standard data-parallel train step over the global mesh.
+Prints the per-step losses; the parent asserts both processes agree
+(replicated state) and that training proceeds.
+"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    coordinator, process_id = sys.argv[1], int(sys.argv[2])
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=2, process_id=process_id
+    )
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8  # global
+    assert len(jax.local_devices()) == 4
+
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_mdl_tpu.config import DataConfig, MeshConfig, TrainConfig
+    from vae_mdl_tpu.data.pipeline import setup_data
+    from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.models.vae import build_model
+    from vae_mdl_tpu.parallel.mesh import make_mesh
+    from vae_mdl_tpu.train.state import create_train_state, make_optimizer
+    from vae_mdl_tpu.train.steps import make_train_step
+
+    cfg = experiment("model01")
+    cfg = dataclasses.replace(
+        cfg,
+        data=DataConfig(dataset="synthetic:mnist", batch_size=16),
+        train=TrainConfig(lr_staircase=False),
+    )
+    mesh = make_mesh(MeshConfig(data=8, sample=1))
+
+    # per-process disjoint shard of the data (the multi-host feeding hook)
+    train_iter, _, _ = setup_data(
+        "synthetic:mnist",
+        batch_size=cfg.data.batch_size // jax.process_count(),
+        seed=0,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    state = create_train_state(model, cfg.train, jnp.zeros((16, 28, 28, 1)), 5)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    step = make_train_step(model, cfg, tx, donate=False)
+
+    losses = []
+    for i in range(3):
+        local = next(train_iter)  # [2, 28, 28, 1] per process
+        # assemble the GLOBAL batch from per-process local shards
+        global_batch = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("data")), local,
+            global_shape=(16,) + local.shape[1:],
+        )
+        state, metrics = step(state, global_batch)
+        losses.append(float(metrics["loss"]))
+
+    print(f"MULTIHOST_OK process={jax.process_index()} "
+          f"losses={','.join(f'{l:.4f}' for l in losses)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
