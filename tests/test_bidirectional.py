@@ -85,3 +85,21 @@ def test_generate_and_training_step():
         state, m = step(state, jnp.asarray(batch))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_celeba_scale_config():
+    """64x64 four-scale ladder builds and computes a finite bound (the
+    reference ships the celeba data path but never a model for it)."""
+    from vae_mdl_tpu.models.bidirectional import BILADDER_CELEBA
+
+    cfg = BILADDER_CELEBA
+    model = build_model(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (2, 64, 64, 3))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, 1
+    )
+    Qs, Ps, pxz = model.apply(params, x, 2, rngs={"sample": jax.random.PRNGKey(2)})
+    assert len(Qs) == 4
+    assert cfg.top_latent_shape() == (4, 4, 8)
+    loss, _ = compute_loss(prior_for(cfg), Qs, Ps, pxz, x)
+    assert jnp.isfinite(loss)

@@ -210,7 +210,7 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument(
             "model",
             choices=[f"model0{i}" for i in range(1, 7)]
-            + ["ladder_svhn", "biladder_svhn", "digits"],
+            + ["ladder_svhn", "biladder_svhn", "biladder_celeba", "digits"],
         )
         sp.add_argument("--dataset")
         sp.add_argument("--data-dir")

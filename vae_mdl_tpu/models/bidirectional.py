@@ -197,3 +197,13 @@ BILADDER_SVHN = BiLadderConfig(
     name="biladder_svhn",
     stages=((48, 24, 2, 2), (48, 16, 1, 2), (48, 8, 1, 2)),
 )
+
+# 64x64 CelebA-scale ladder (the reference ships the celeba data path but no
+# model for it, utils/data.py:65-105) — four spatial scales down to 4x4
+BILADDER_CELEBA = BiLadderConfig(
+    name="biladder_celeba",
+    image_shape=(64, 64, 3),
+    stem_features=48,
+    stages=((64, 32, 2, 2), (64, 24, 2, 2), (64, 16, 1, 2), (64, 8, 1, 2)),
+    likelihood="dl",
+)

@@ -157,12 +157,15 @@ DIGITS = ModelConfig(
     decoder=DecoderConfig(kind="mlp", n_hidden=128, activation="tanh"),
 )
 
-from vae_mdl_tpu.models.bidirectional import BILADDER_SVHN  # noqa: E402
+from vae_mdl_tpu.models.bidirectional import (  # noqa: E402
+    BILADDER_CELEBA,
+    BILADDER_SVHN,
+)
 from vae_mdl_tpu.models.ladder import LADDER_SVHN  # noqa: E402
 
 MODELS = {m.name: m for m in
           (MODEL01, MODEL02, MODEL03, MODEL04, MODEL05, MODEL06, LADDER_SVHN,
-           BILADDER_SVHN, DIGITS)}
+           BILADDER_SVHN, BILADDER_CELEBA, DIGITS)}
 
 _DATASETS = {
     "model01": "mnist",
@@ -173,6 +176,7 @@ _DATASETS = {
     "model06": "svhn_cropped",
     "ladder_svhn": "svhn_cropped",
     "biladder_svhn": "svhn_cropped",
+    "biladder_celeba": "celeba",
     "digits": "digits",
 }
 
@@ -187,6 +191,7 @@ _N_UPDATES = {
     "model06": 100_000,
     "ladder_svhn": 100_000,
     "biladder_svhn": 100_000,
+    "biladder_celeba": 200_000,
     "digits": 20_000,
 }
 
