@@ -133,7 +133,9 @@ def _dump_assets(trainer, cfg, out_dir: str = "./assets") -> None:
     from vae_mdl_tpu.utils.images import fill_canvas, save_png
 
     os.makedirs(out_dir, exist_ok=True)
-    x_raw = __import__("jax").numpy.asarray(next(trainer.val_iter))[:64]
+    import jax.numpy as jnp
+
+    x_raw = jnp.asarray(next(trainer.val_iter))[:64]
     if trainer._report_jit is None:
         trainer.report(int(trainer.state.step))  # builds the jit
     x, recon, samples = trainer._report_jit(trainer.state, x_raw)

@@ -61,7 +61,9 @@ def make_splits(
         half = len(x) // 2
         val, test = (x[:half], y[:half]), (x[half:], y[half:])
     elif base == "celeba":
-        val = test = raw["validation"]
+        # real shards have a "validation" split; the synthetic fallback
+        # provides only "test"
+        val = test = raw.get("validation", raw.get("test"))
     else:  # mnist, synthetic: val == test (model01.py uses the 10k test set)
         val = test = raw["test"]
     return DataSplits(train=train, val=val, test=test)
@@ -81,6 +83,11 @@ def epoch_batches(
     remainder dropped (static shapes for XLA)."""
     x, _ = arrays
     n = len(x)
+    if batch_size > n:
+        raise ValueError(
+            f"batch_size {batch_size} exceeds the split size {n} — the "
+            "remainder-dropping epoch stream would never yield"
+        )
     rng = np.random.default_rng(seed)
     while True:
         order = rng.permutation(n) if shuffle else np.arange(n)
@@ -130,6 +137,24 @@ def setup_data(
     ``batch_multiple``: keep (clamped) batch sizes divisible by the mesh's
     data axis so sharded device_put never sees a ragged batch."""
     splits = make_splits(dataset, data_dir, allow_synthetic_fallback)
+    return iterators_from_splits(
+        splits, batch_size, val_batch_size, seed,
+        process_index, process_count, batch_multiple,
+    )
+
+
+def iterators_from_splits(
+    splits: DataSplits,
+    batch_size: int = 128,
+    val_batch_size: int = 500,
+    seed: int = 0,
+    process_index: int = 0,
+    process_count: int = 1,
+    batch_multiple: int = 1,
+):
+    """Build (train_iter, val_iter, test arrays) from already-loaded splits
+    (lets callers that also need the raw arrays — e.g. the device-resident
+    dataset path — load the data exactly once)."""
     train = shard_arrays(splits.train, process_index, process_count)
     val = shard_arrays(splits.val, process_index, process_count)
 

@@ -133,8 +133,13 @@ def evaluate_llh(
         tail = test_images[n_batches * batch_size:]
         reps = -(-batch_size // leftover)
         pad = np.concatenate([tail] * reps)[:batch_size]
+        pad = jnp.asarray(pad)
+        if mesh is not None:
+            from vae_mdl_tpu.parallel.mesh import shard_batch
+
+            pad = shard_batch(mesh, pad)
         out = np.asarray(
-            evaluator(params, jnp.asarray(pad), jax.random.fold_in(key, n_batches))
+            evaluator(params, pad, jax.random.fold_in(key, n_batches))
         )
         llhs.append(out[:leftover])
 

@@ -60,7 +60,9 @@ def make_shard_map_train_step(
             Qs, Ps, pxz = model.apply(params, x, k,
                                       rngs={"sample": rngs["sample"]})
             return compute_loss(prior, Qs, Ps, pxz, x,
-                                beta=cfg.model.beta)
+                                beta=cfg.model.beta,
+                                objective=getattr(cfg.model, "objective",
+                                                  "iwae"))
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

@@ -44,25 +44,39 @@ class Trainer:
         self.mesh = mesh
         self.model: VAE = build_model(cfg.model)
 
-        # batch shapes must divide the data mesh axis (GSPMD shards axis 0)
+        # GLOBAL batch sizes must divide the data mesh axis (shard axis 0)
+        # and the process count (each process feeds its slice; _put
+        # assembles the global array from per-process local batches)
         d_axis = mesh.shape["data"] if mesh is not None else 1
-        if cfg.data.batch_size % d_axis:
+        n_proc = jax.process_count()
+        if cfg.data.batch_size % max(d_axis, n_proc):
             raise ValueError(
                 f"batch_size {cfg.data.batch_size} not divisible by the "
-                f"mesh data axis ({d_axis})"
+                f"mesh data axis ({d_axis}) / process count ({n_proc})"
             )
-        val_bs = max(d_axis, cfg.data.val_batch_size // d_axis * d_axis)
+        local_bs = cfg.data.batch_size // n_proc
+        local_mult = max(1, d_axis // n_proc)
+        local_val_bs = max(
+            local_mult,
+            (cfg.data.val_batch_size // n_proc) // local_mult * local_mult,
+        )
 
+        self._splits = None
         if data is None:
-            data = setup_data(
-                cfg.data.dataset,
-                cfg.data.data_dir,
-                cfg.data.batch_size,
-                val_bs,
+            from vae_mdl_tpu.data.pipeline import (
+                iterators_from_splits,
+                make_splits,
+            )
+
+            self._splits = make_splits(cfg.data.dataset, cfg.data.data_dir)
+            data = iterators_from_splits(
+                self._splits,
+                local_bs,
+                local_val_bs,
                 seed=cfg.data.seed,
                 process_index=jax.process_index(),
-                process_count=jax.process_count(),
-                batch_multiple=d_axis,
+                process_count=n_proc,
+                batch_multiple=local_mult,
             )
         self.train_iter, self.val_iter, self.test_set = data
 
@@ -92,18 +106,22 @@ class Trainer:
             )
         self._device_data = None
         if cfg.train.device_dataset:
-            from vae_mdl_tpu.data.pipeline import make_splits, shard_arrays
             from vae_mdl_tpu.train.steps import make_device_data_train_step
 
-            splits = make_splits(cfg.data.dataset, cfg.data.data_dir)
-            train_x, _ = shard_arrays(splits.train, jax.process_index(),
-                                      jax.process_count())
-            self._device_data = jax.device_put(
-                train_x,
-                (None if mesh is None else
-                 __import__("jax").sharding.NamedSharding(
-                     mesh, __import__("jax").sharding.PartitionSpec())),
-            )
+            if self._splits is None:
+                from vae_mdl_tpu.data.pipeline import make_splits
+
+                self._splits = make_splits(cfg.data.dataset, cfg.data.data_dir)
+            # the FULL split (not per-process shards): replicated device_put
+            # requires identical values on every process, and the set fits
+            # in HBM by assumption
+            train_x = self._splits.train[0]
+            if mesh is None:
+                self._device_data = jax.device_put(train_x)
+            else:
+                from vae_mdl_tpu.parallel.mesh import replicated
+
+                self._device_data = jax.device_put(train_x, replicated(mesh))
             self.train_step = make_device_data_train_step(
                 self.model, cfg, self.tx, n_steps=spc,
                 n_data=len(train_x), mesh=mesh,
@@ -122,14 +140,25 @@ class Trainer:
     # ------------------------------------------------------------------ utils
 
     def _put(self, batch: np.ndarray, stacked: bool = False) -> jax.Array:
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.mesh is None:
+            return jnp.asarray(batch)
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-            # stacked [spc, B, ...] scan inputs shard the BATCH axis (1),
-            # plain batches shard axis 0
-            spec = P(None, "data") if stacked else P("data")
-            return jax.device_put(batch, NamedSharding(self.mesh, spec))
-        return jnp.asarray(batch)
+        # stacked [spc, B, ...] scan inputs shard the BATCH axis (1),
+        # plain batches shard axis 0
+        spec = P(None, "data") if stacked else P("data")
+        sharding = NamedSharding(self.mesh, spec)
+        if jax.process_count() > 1:
+            # each process holds ITS slice of the global batch; assemble the
+            # global array (device_put's replicated-value contract does not
+            # hold for per-process shards)
+            axis = 1 if stacked else 0
+            gshape = list(batch.shape)
+            gshape[axis] *= jax.process_count()
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(batch), tuple(gshape)
+            )
+        return jax.device_put(batch, sharding)
 
     # ------------------------------------------------------------------ loop
 
@@ -158,11 +187,13 @@ class Trainer:
         spc = self.steps_per_call
         start_step = int(self.state.step)
         steps = range(start_step, n_updates, spc)
+        pbar = None
         if progress:
             try:
                 from tqdm import tqdm
 
-                steps = tqdm(steps, initial=start_step, total=n_updates)
+                # bar counts TRAINING STEPS (each iteration advances spc)
+                pbar = tqdm(total=n_updates, initial=start_step)
             except ImportError:
                 pass
 
@@ -199,6 +230,8 @@ class Trainer:
                     batch.shape[1] if spc > 1 else 1
                 )
             window_steps += spc
+            if pbar is not None:
+                pbar.update(spc)
             if profiling and i >= profile_at + profile_steps:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
@@ -233,6 +266,8 @@ class Trainer:
                 window_imgs = 0
                 window_steps = 0
 
+        if pbar is not None:
+            pbar.close()
         if profiling:  # run ended before profile_steps elapsed
             jax.profiler.stop_trace()
             print(f"[trainer] wrote profiler trace to {profile_dir}")
