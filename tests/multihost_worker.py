@@ -80,6 +80,28 @@ def main():
     print(f"MULTIHOST_OK process={jax.process_index()} "
           f"losses={','.join(f'{l:.4f}' for l in losses)}", flush=True)
 
+    # ---- and the FULL Trainer path: per-process shard feeding, global
+    # val loss, collective best/latest checkpoint saves -----------------
+    import tempfile
+
+    from vae_mdl_tpu.train.trainer import Trainer
+
+    # checkpoint saves are COLLECTIVE: all processes must use the same dir
+    tmp = os.environ["MULTIHOST_CKPT_DIR"]
+    cfg2 = dataclasses.replace(
+        cfg,
+        data=DataConfig(dataset="synthetic:mnist", batch_size=16,
+                        val_batch_size=64),
+        train=TrainConfig(n_updates=4, eval_interval=2, lr_staircase=False,
+                          checkpoint_dir=os.path.join(tmp, "ckpt"),
+                          log_dir=os.path.join(tmp, "tb", str(process_id))),
+    )
+    trainer = Trainer(cfg2, mesh=mesh)
+    state = trainer.fit(progress=False)
+    print(f"TRAINER_OK process={jax.process_index()} "
+          f"step={int(state.step)} best={float(state.best_val_loss):.4f}",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

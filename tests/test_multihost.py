@@ -27,9 +27,12 @@ def test_two_process_data_parallel_training():
     worker = os.path.join(repo, "tests", "multihost_worker.py")
     coordinator = f"127.0.0.1:{_free_port()}"
 
+    import tempfile
+
     env = {k: v for k, v in os.environ.items()
            if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = repo
+    env["MULTIHOST_CKPT_DIR"] = tempfile.mkdtemp()
 
     procs = [
         subprocess.Popen(
@@ -54,3 +57,11 @@ def test_two_process_data_parallel_training():
     assert losses[0] == losses[1]
     values = [float(v) for v in losses[0].split(",")]
     assert values[-1] < values[0]  # and training improves
+
+    # the full Trainer path (per-process feeding, global val loss,
+    # collective checkpoint saves) must agree across processes too
+    tlines = [l for out in outs for l in out.splitlines()
+              if l.startswith("TRAINER_OK")]
+    assert len(tlines) == 2, f"missing Trainer output: {outs}"
+    bests = {l.split("best=")[1] for l in tlines}
+    assert len(bests) == 1, f"best_val diverged across processes: {tlines}"

@@ -257,9 +257,15 @@ class Trainer:
 
                 self.ckpt.save(self.state, "latest")
                 if val_loss < float(self.state.best_val_loss):
-                    self.state = self.state.replace(
-                        best_val_loss=jnp.asarray(val_loss, jnp.float32)
-                    )
+                    best = jnp.asarray(val_loss, jnp.float32)
+                    if self.mesh is not None:
+                        # keep every checkpointed leaf globally replicated
+                        # (a host-local scalar cannot be serialised
+                        # collectively in multi-process runs)
+                        from vae_mdl_tpu.parallel.mesh import replicated
+
+                        best = jax.device_put(best, replicated(self.mesh))
+                    self.state = self.state.replace(best_val_loss=best)
                     self.ckpt.save(self.state, "best")
 
                 window_t0 = time.perf_counter()
