@@ -93,6 +93,7 @@ def main():
         data=DataConfig(dataset="synthetic:mnist", batch_size=16,
                         val_batch_size=64),
         train=TrainConfig(n_updates=4, eval_interval=2, lr_staircase=False,
+                          report_images=False,
                           checkpoint_dir=os.path.join(tmp, "ckpt"),
                           log_dir=os.path.join(tmp, "tb", str(process_id))),
     )

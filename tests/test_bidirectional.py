@@ -92,7 +92,11 @@ def test_celeba_scale_config():
     reference ships the celeba data path but never a model for it)."""
     from vae_mdl_tpu.models.bidirectional import BILADDER_CELEBA
 
-    cfg = BILADDER_CELEBA
+    cfg = dataclasses.replace(  # slim widths: shape coverage, fast compile
+        BILADDER_CELEBA,
+        stem_features=8,
+        stages=((8, 8, 1, 2), (8, 8, 1, 2), (8, 8, 1, 2), (8, 8, 1, 2)),
+    )
     model = build_model(cfg)
     x = jax.random.uniform(jax.random.PRNGKey(9), (2, 64, 64, 3))
     params = model.init(
@@ -101,5 +105,6 @@ def test_celeba_scale_config():
     Qs, Ps, pxz = model.apply(params, x, 2, rngs={"sample": jax.random.PRNGKey(2)})
     assert len(Qs) == 4
     assert cfg.top_latent_shape() == (4, 4, 8)
+    assert BILADDER_CELEBA.top_latent_shape() == (4, 4, 8)
     loss, _ = compute_loss(prior_for(cfg), Qs, Ps, pxz, x)
     assert jnp.isfinite(loss)

@@ -148,7 +148,7 @@ def test_trainer_and_eval_handle_indivisible_batches_under_mesh():
     cfg = dataclasses.replace(
         cfg,
         data=DataConfig(dataset="digits", batch_size=16, val_batch_size=500),
-        train=TrainConfig(n_updates=2, eval_interval=1,
+        train=TrainConfig(n_updates=2, eval_interval=1, report_images=False,
                           checkpoint_dir=tmp + "/c", log_dir=tmp + "/l"),
     )
     mesh = make_mesh(MeshConfig(data=8, sample=1))
@@ -183,7 +183,7 @@ def test_device_dataset_under_mesh():
         data=DataConfig(dataset="synthetic:mnist", batch_size=16,
                         val_batch_size=32),
         train=TrainConfig(n_updates=4, eval_interval=2, steps_per_call=2,
-                          device_dataset=True,
+                          device_dataset=True, report_images=False,
                           checkpoint_dir=tmp + "/c", log_dir=tmp + "/l"),
     )
     mesh = make_mesh(MeshConfig(data=8, sample=1))

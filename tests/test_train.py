@@ -46,6 +46,7 @@ def _tiny_cfg(tmp, n_updates=40, eval_interval=20):
         train=TrainConfig(
             n_updates=n_updates,
             eval_interval=eval_interval,
+            report_images=False,
             checkpoint_dir=tmp + "/ckpt",
             log_dir=tmp + "/tb",
         ),

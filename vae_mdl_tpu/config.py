@@ -115,6 +115,7 @@ class TrainConfig:
     checkpoint_dir: str = "./saved_models"
     log_dir: str = "/tmp/tensorboard"
     resume: bool = True  # auto-resume from the latest full-state checkpoint
+    report_images: bool = True  # log image grids at each eval interval
     n_eval_samples: int = 5000  # importance samples for the final eval
 
 

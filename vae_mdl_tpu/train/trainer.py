@@ -253,7 +253,8 @@ class Trainer:
                      "step_ms": 1000.0 * dt / max(1, window_steps)},
                     prefix="Perf",
                 )
-                self.report(i)
+                if cfg.train.report_images:
+                    self.report(i)
 
                 self.ckpt.save(self.state, "latest")
                 if val_loss < float(self.state.best_val_loss):
