@@ -20,7 +20,7 @@ bpd = -llh / (log 2 * prod(image_shape)) (models/loss.py:42-43).
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

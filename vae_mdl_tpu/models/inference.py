@@ -7,8 +7,6 @@ jit-cached equivalents for programmatic use.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

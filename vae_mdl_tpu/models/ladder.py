@@ -17,7 +17,6 @@ samples ride as a leading axis exactly as in the dense models.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Tuple
 
 import jax

@@ -24,7 +24,7 @@ TPU design notes
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

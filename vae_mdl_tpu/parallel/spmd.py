@@ -17,7 +17,6 @@ overlap (e.g. reduce-scatter optimizers) later.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -12,7 +12,6 @@ params replicated — GSPMD inserts the gradient all-reduce (SURVEY.md §2.3).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

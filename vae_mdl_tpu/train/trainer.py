@@ -11,15 +11,14 @@ reconstructions / prior samples, models/model01.py:206-261).
 from __future__ import annotations
 
 import time
-from typing import Iterator, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from vae_mdl_tpu.config import ExperimentConfig
-from vae_mdl_tpu.data.pipeline import setup_data
-from vae_mdl_tpu.models.vae import VAE, build_model, prior_for
+from vae_mdl_tpu.models.vae import VAE, build_model
 from vae_mdl_tpu.train.checkpoint import Checkpointer
 from vae_mdl_tpu.train.state import TrainState, create_train_state, make_optimizer
 from vae_mdl_tpu.train.steps import (
