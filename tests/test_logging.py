@@ -38,3 +38,25 @@ def test_fill_canvas_and_png(tmp_path):
     assert os.path.getsize(path) > 0
 
     assert to_uint8(np.array([0.0, 1.0, 2.0])).tolist() == [0, 255, 255]
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    from vae_mdl_tpu.utils.cache import enable_compilation_cache
+
+    target = str(tmp_path / "xla")
+    path = enable_compilation_cache(target)
+    assert path == target and os.path.isdir(target)
+
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == target
+
+
+def test_init_distributed_noop_without_config(monkeypatch):
+    """Single host, no env/args: must be a no-op returning False."""
+    from vae_mdl_tpu.parallel.distributed import init_distributed
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert init_distributed() is False
