@@ -49,7 +49,9 @@ class TestIWAELoss:
         (/root/reference/models/loss.py:48-55)."""
         x, z, pz, qzx, pxz = _single_layer_setup()
         loss, m = iwae_loss(x, z, pz, qzx, pxz)
-        assert set(m) == {"iwae_elbo", "bpd", "lpxz", "lqzx", "lpz", "kl"}
+        # reference keys plus the ESS diagnostic extension
+        assert set(m) == {"iwae_elbo", "bpd", "lpxz", "lqzx", "lpz", "kl",
+                          "ess"}
         assert np.isfinite(float(loss))
         np.testing.assert_allclose(float(loss), -float(m["iwae_elbo"]), rtol=1e-6)
 
@@ -146,7 +148,7 @@ class TestHierarchical:
         loss, m = two_layer_iwae_loss(x, pz, qz1x, qz2z1, pz1z2, pxz1)
         assert set(m) == {
             "iwae_elbo", "bpd", "lpxz", "lqz1x", "lqz2z1",
-            "lpz2", "lpz1z2", "kl1", "kl2",
+            "lpz2", "lpz1z2", "kl1", "kl2", "ess",
         }
         assert np.isfinite(float(loss))
 
@@ -292,3 +294,24 @@ def test_elbo_objective_at_any_depth():
     li, _ = compute_loss(prior, Qs, Ps, pxz, x, objective="iwae")
     le, _ = compute_loss(prior, Qs, Ps, pxz, x, objective="elbo")
     assert float(li) <= float(le) + 1e-4
+
+
+def test_effective_sample_size_bounds():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_mdl_tpu.models.losses import effective_sample_size
+
+    # uniform weights -> ESS == k
+    k = 8
+    lw = jnp.zeros((k, 3))
+    np.testing.assert_allclose(np.asarray(effective_sample_size(lw)), k,
+                               rtol=1e-6)
+    # one dominant weight -> ESS ~ 1
+    lw = jnp.zeros((k, 1)).at[0, 0].set(100.0)
+    assert float(effective_sample_size(lw)[0]) == pytest.approx(1.0, abs=1e-4)
+    # invariance to additive shifts of log weights
+    lw = jnp.asarray(np.random.default_rng(0).normal(size=(k, 4)))
+    a = effective_sample_size(lw)
+    b = effective_sample_size(lw + 123.4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)

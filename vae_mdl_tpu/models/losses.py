@@ -30,6 +30,17 @@ _LOG2 = math.log(2.0)
 Metrics = Dict[str, jax.Array]
 
 
+def effective_sample_size(log_w: jax.Array, axis: int = 0) -> jax.Array:
+    """Normalised importance-weight ESS in [1, k]: (sum w)^2 / sum w^2.
+
+    A weight-degeneracy diagnostic for the IWAE bound (not in the
+    reference); ESS ~ 1 means one sample dominates the bound.
+    """
+    lse1 = jax.scipy.special.logsumexp(log_w, axis=axis)
+    lse2 = jax.scipy.special.logsumexp(2.0 * log_w, axis=axis)
+    return jnp.exp(2.0 * lse1 - lse2)
+
+
 def _reduce(dist, value: jax.Array, axes=None) -> jax.Array:
     axes = tuple(axes if axes is not None else dist.event_axes)
     return jnp.sum(dist.log_prob(value), axis=axes)
@@ -71,6 +82,7 @@ def iwae_loss(x, z, pz, qzx, pxz, beta: float = 1.0) -> Tuple[jax.Array, Metrics
         "lqzx": lqzx,
         "lpz": lpz,
         "kl": kl,
+        "ess": effective_sample_size(log_w),
     }
 
 
@@ -119,6 +131,7 @@ def two_layer_iwae_loss(
         "lpz1z2": lpz1z2,
         "kl1": kl1,
         "kl2": kl2,
+        "ess": effective_sample_size(log_w),
     }
 
 
@@ -178,4 +191,5 @@ def hierarchical_iwae_loss(
         "bpd": bpd,
         "lpxz": lpxz,
         "kl": [-jnp.mean(k, axis=0) for k in kls],
+        "ess": effective_sample_size(log_w),
     }
