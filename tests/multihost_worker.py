@@ -40,9 +40,18 @@ def main():
     from vae_mdl_tpu.train.state import create_train_state, make_optimizer
     from vae_mdl_tpu.train.steps import make_train_step
 
+    from vae_mdl_tpu.config import DecoderConfig, EncoderConfig, ModelConfig
+
+    tiny = ModelConfig(
+        name="tiny", image_shape=(28, 28, 1), n_latent=8, n_samples=2,
+        likelihood="bernoulli",
+        encoder=EncoderConfig(kind="mlp", n_hidden=32),
+        decoder=DecoderConfig(kind="mlp", n_hidden=32),
+    )
     cfg = experiment("model01")
     cfg = dataclasses.replace(
         cfg,
+        model=tiny,
         data=DataConfig(dataset="synthetic:mnist", batch_size=16),
         train=TrainConfig(lr_staircase=False),
     )
@@ -59,7 +68,7 @@ def main():
 
     model = build_model(cfg.model)
     tx = make_optimizer(cfg.train)
-    state = create_train_state(model, cfg.train, jnp.zeros((16, 28, 28, 1)), 5)
+    state = create_train_state(model, cfg.train, jnp.zeros((16, 28, 28, 1)), 2)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -257,7 +257,7 @@ def test_beta_scales_kl_at_every_depth():
             {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
             x, 1,
         )
-        Qs, Ps, pxz = model.apply(params, x, 2,
+        Qs, Ps, pxz = model.apply(params, x, 3,
                                   rngs={"sample": jax.random.PRNGKey(2)})
         prior = prior_for(cfg)
         l1, _ = compute_loss(prior, Qs, Ps, pxz, x, beta=1.0)
