@@ -15,8 +15,11 @@ test-fast:
 bench:  # real TPU; run solo (one process may hold the chip)
 	python bench.py
 
-dryrun:  # the driver's multichip validation, locally
-	$(MESH_ENV) python __graft_entry__.py
+dryrun:  # rehearse the EXACT driver call — no env injected; the hook self-provisions
+	python -c "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
+
+dryrun-cpu:  # same, but skip the parent process's TPU probe (fast local check)
+	$(CPU_ENV) python -c "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
 
 lint:
 	python -m py_compile $$(git ls-files '*.py')
