@@ -13,7 +13,7 @@ from vae_mdl_tpu.data.pipeline import (
     setup_data,
     shard_arrays,
 )
-from vae_mdl_tpu.data.preprocess import binarize, dequantize
+from vae_mdl_tpu.data.preprocess import binarize, dequantize, random_flip
 from vae_mdl_tpu.data.sources import load_synthetic
 from vae_mdl_tpu.data.tfrecord import parse_example, read_records
 
@@ -68,6 +68,29 @@ def test_dequantize_and_binarize_on_device():
     # deterministic per key
     b2 = binarize(jax.random.PRNGKey(0), probs)
     assert np.array_equal(np.asarray(b), np.asarray(b2))
+
+
+def test_random_flip_statistics_and_content():
+    """Each image is either identical or exactly mirrored; ~half flipped;
+    deterministic per key (celeba parity, utils/data.py:88)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(size=(512, 4, 6, 3)).astype(np.float32))
+    out = random_flip(jax.random.PRNGKey(0), x)
+    x_np, out_np = np.asarray(x), np.asarray(out)
+    same = np.all(out_np == x_np, axis=(1, 2, 3))
+    mirrored = np.all(out_np == x_np[:, :, ::-1, :], axis=(1, 2, 3))
+    assert np.all(same | mirrored)
+    frac = mirrored.mean()
+    assert 0.35 < frac < 0.65
+    out2 = random_flip(jax.random.PRNGKey(0), x)
+    assert np.array_equal(out_np, np.asarray(out2))
+
+
+def test_strict_data_refuses_synthetic_fallback(tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        make_splits("mnist", str(tmp_path), allow_synthetic_fallback=False)
 
 
 def _encode_varint(n: int) -> bytes:

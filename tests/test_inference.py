@@ -44,3 +44,25 @@ def test_sampler_spatial_ladder():
     cfg, model, params, _ = _init("ladder_svhn")
     imgs = make_sampler(model, cfg)(params, jax.random.PRNGKey(0), 2)
     assert imgs.shape == (2,) + cfg.image_shape
+
+
+def test_gaussian_sampler_uses_mean_function():
+    """model02's prior-sample grids show the observation MEAN, not noisy
+    draws (reference parity: models/model02.py:205-221)."""
+    cfg, model, params, _ = _init("model02")
+    sample = make_sampler(model, cfg)
+    imgs = np.asarray(sample(params, jax.random.PRNGKey(0), 4))
+
+    # replicate the sampler's ancestral path and pin the mean dispatch
+    k_prior, k_gen = jax.random.split(jax.random.PRNGKey(0))
+    z_top = jax.random.normal(k_prior, (4, cfg.latents()[-1]))
+    out = model.apply(params, z_top, rngs={"sample": k_gen}, method="generate")
+    expected = np.asarray(
+        (jnp.clip(out.dist.mean(), 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    )
+    assert np.array_equal(imgs, expected)
+    # and the mean is NOT what a raw draw would give
+    raw = np.asarray(
+        (jnp.clip(out.sample, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    )
+    assert not np.array_equal(imgs, raw)

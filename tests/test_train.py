@@ -212,3 +212,41 @@ def test_device_dataset_training():
 
     tr2 = Trainer(cfg)
     assert int(tr2.state.step) == 30
+
+
+def test_augment_flip_train_only():
+    """augment_flip changes the TRAIN step's inputs (flip applied on device)
+    but never the eval step's (celeba parity, utils/data.py:88)."""
+    from vae_mdl_tpu.models.vae import build_model
+    from vae_mdl_tpu.train.steps import make_eval_step, make_train_step
+
+    cfg = experiment("model02")
+    cfg = dataclasses.replace(
+        cfg, data=DataConfig(dataset="synthetic:svhn_cropped", batch_size=8)
+    )
+    cfg_flip = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, augment_flip=True)
+    )
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x = jnp.zeros((8, 32, 32, 3), jnp.float32)
+    state = create_train_state(model, cfg.train, x, cfg.model.n_samples)
+
+    # left half bright, right half dark: flipping changes the batch
+    batch = np.zeros((8, 32, 32, 3), np.uint8)
+    batch[:, :, :16, :] = 200
+    batch = jnp.asarray(batch)
+
+    _, m_plain = make_train_step(model, cfg, tx, donate=False)(state, batch)
+    _, m_flip = make_train_step(model, cfg_flip, tx, donate=False)(state, batch)
+    assert float(m_plain["loss"]) != float(m_flip["loss"])
+
+    e_plain = make_eval_step(model, cfg)(state, batch)
+    e_flip = make_eval_step(model, cfg_flip)(state, batch)
+    assert float(e_plain["loss"]) == float(e_flip["loss"])
+
+
+def test_zoo_wires_celeba_flip_and_eval_samples():
+    assert experiment("biladder_celeba").data.augment_flip
+    assert not experiment("model05").data.augment_flip
+    assert experiment("model01").train.n_eval_samples == 5000

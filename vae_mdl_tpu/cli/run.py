@@ -51,28 +51,26 @@ def _apply_overrides(cfg, args):
         train = dataclasses.replace(train, steps_per_call=args.steps_per_call)
     if getattr(args, "device_dataset", False):
         train = dataclasses.replace(train, device_dataset=True)
+    if getattr(args, "strict_data", False):
+        data = dataclasses.replace(data, strict=True)
     return dataclasses.replace(cfg, model=model, data=data, train=train)
 
 
-def _make_mesh_or_none(mesh_spec: Optional[str]):
+def _make_mesh_or_none(mesh_spec: Optional[str], mesh_cfg=None):
+    """Mesh from --mesh, or from the experiment's MeshConfig when absent."""
     import jax
 
+    from vae_mdl_tpu.config import MeshConfig
+    from vae_mdl_tpu.parallel.mesh import make_mesh
+
     if mesh_spec is None:
-        return None if len(jax.devices()) == 1 else _default_mesh()
+        if len(jax.devices()) == 1:
+            return None
+        return make_mesh(mesh_cfg or MeshConfig())
     if mesh_spec == "none":
         return None
-    from vae_mdl_tpu.config import MeshConfig
-    from vae_mdl_tpu.parallel.mesh import make_mesh
-
     data, _, sample = mesh_spec.partition("x")
     return make_mesh(MeshConfig(data=int(data), sample=int(sample or 1)))
-
-
-def _default_mesh():
-    from vae_mdl_tpu.config import MeshConfig
-    from vae_mdl_tpu.parallel.mesh import make_mesh
-
-    return make_mesh(MeshConfig())
 
 
 def cmd_train(args) -> None:
@@ -82,7 +80,7 @@ def cmd_train(args) -> None:
 
     init_distributed()
     cfg = _apply_overrides(experiment(args.model), args)
-    mesh = _make_mesh_or_none(args.mesh)
+    mesh = _make_mesh_or_none(args.mesh, cfg.mesh)
     trainer = Trainer(cfg, mesh=mesh)
 
     if cfg.model.name == "model01":
@@ -94,7 +92,8 @@ def cmd_train(args) -> None:
 
     _dump_assets(trainer, cfg)
     if not args.skip_final_eval:
-        _final_eval(trainer, cfg, args.n_samples, mesh)
+        _final_eval(trainer, cfg,
+                    args.n_samples or cfg.train.n_eval_samples, mesh)
 
 
 def _maybe_bias_init(trainer, cfg) -> None:
@@ -151,7 +150,7 @@ def cmd_eval(args) -> None:
     from vae_mdl_tpu.train.trainer import Trainer
 
     cfg = _apply_overrides(experiment(args.model), args)
-    mesh = _make_mesh_or_none(args.mesh)
+    mesh = _make_mesh_or_none(args.mesh, cfg.mesh)
     trainer = Trainer(cfg, mesh=mesh)
     if trainer.ckpt.has(args.ckpt):
         trainer.state = trainer.ckpt.restore(trainer.state, args.ckpt)
@@ -161,11 +160,12 @@ def cmd_eval(args) -> None:
 
     from vae_mdl_tpu.evaluation import evaluate_llh
 
+    n_samples = args.n_samples or cfg.train.n_eval_samples
     mean_llh, _, metrics = evaluate_llh(
         trainer.model, cfg, trainer.state.params, trainer.test_set[0],
-        n_samples=args.n_samples, mesh=mesh,
+        n_samples=n_samples, mesh=mesh,
     )
-    print(f"[eval] {args.n_samples}-IS test LLH: {mean_llh:.2f} nats, "
+    print(f"[eval] {n_samples}-IS test LLH: {mean_llh:.2f} nats, "
           f"bpd: {metrics['bpd']:.4f}")
 
 
@@ -182,7 +182,7 @@ def cmd_sample(args) -> None:
     from vae_mdl_tpu.utils.images import fill_canvas, save_png
 
     cfg = _apply_overrides(experiment(args.model), args)
-    trainer = Trainer(cfg, mesh=_make_mesh_or_none(args.mesh))
+    trainer = Trainer(cfg, mesh=_make_mesh_or_none(args.mesh, cfg.mesh))
     if trainer.ckpt.has(args.ckpt):
         trainer.state = trainer.ckpt.restore(trainer.state, args.ckpt)
     sampler = make_sampler(trainer.model, cfg.model)
@@ -221,8 +221,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--eval-interval", type=int)
         sp.add_argument("--checkpoint-dir")
         sp.add_argument("--log-dir")
-        sp.add_argument("--n-samples", type=int, default=5000,
-                        help="importance samples for the final eval")
+        sp.add_argument("--n-samples", type=int, default=None,
+                        help="importance samples for the final eval "
+                             "(default: cfg.train.n_eval_samples = 5000)")
         sp.add_argument("--mesh", help="DxS mesh, e.g. 4x2; 'none' disables")
         sp.add_argument("--bf16", action="store_true",
                         help="bfloat16 conv/matmul body")
@@ -235,6 +236,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="scan N updates per dispatched program")
         sp.add_argument("--device-dataset", action="store_true",
                         help="keep the whole train split in HBM (small sets)")
+        sp.add_argument("--strict-data", action="store_true",
+                        help="fail if dataset files are missing instead of "
+                             "falling back to synthetic data (parity runs)")
 
     sp_train = sub.add_parser("train", help="train + final 5000-IS eval + assets")
     common(sp_train)

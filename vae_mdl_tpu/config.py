@@ -89,6 +89,12 @@ class DataConfig:
     batch_size: int = 128  # parity: /root/reference/utils/data.py:20
     val_batch_size: int = 500
     dynamic_binarization: bool = True  # mnist only (model01.py:31-33)
+    # random horizontal flip on TRAIN batches, applied on device inside the
+    # jitted step (celeba parity: /root/reference/utils/data.py:88)
+    augment_flip: bool = False
+    # refuse the synthetic fallback: missing dataset files raise instead of
+    # silently substituting synthetic data (parity-run guard, docs/parity.md)
+    strict: bool = False
     seed: int = 42
 
 

@@ -123,8 +123,9 @@ def load_cifar10(data_dir: str) -> Dict[str, Arrays]:
 
 def load_celeba(data_dir: str, size: int = 64) -> Dict[str, Arrays]:
     """OpenAI Glow TFRecord shards; images resized to 64x64 like the
-    reference (/root/reference/utils/data.py:87-90 — the random flip is done
-    on device in the pipeline instead)."""
+    reference (/root/reference/utils/data.py:87-90). The reference's random
+    horizontal flip is applied on device inside the jitted train step
+    (DataConfig.augment_flip -> train.steps), never at load time."""
     from vae_mdl_tpu.data import native
     from vae_mdl_tpu.data.tfrecord import parse_example, read_records
 

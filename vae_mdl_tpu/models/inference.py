@@ -26,7 +26,12 @@ def make_sampler(model, config):
         z_top = jax.random.normal(k_prior, (n,) + top_shape)
         out = model.apply(params, z_top, rngs={"sample": k_gen},
                           method="generate")
-        img = jnp.clip(out.sample, 0.0, 1.0)
+        # Gaussian obs: the mean function, not noisy draws (reference
+        # parity: models/model02.py:205-221)
+        img = (out.dist.mean()
+               if getattr(config, "likelihood", None) == "gaussian"
+               else out.sample)
+        img = jnp.clip(img, 0.0, 1.0)
         return (img * 255.0 + 0.5).astype(jnp.uint8)
 
     return sample

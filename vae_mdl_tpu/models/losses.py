@@ -42,8 +42,9 @@ def effective_sample_size(log_w: jax.Array, axis: int = 0) -> jax.Array:
 
 
 def _reduce(dist, value: jax.Array, axes=None) -> jax.Array:
-    axes = tuple(axes if axes is not None else dist.event_axes)
-    return jnp.sum(dist.log_prob(value), axis=axes)
+    if axes is None:
+        return dist.reduced_log_prob(value)
+    return jnp.sum(dist.log_prob(value), axis=tuple(axes))
 
 
 def _bits_per_dim(iwae_elbo: jax.Array, x: jax.Array) -> jax.Array:

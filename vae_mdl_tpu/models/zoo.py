@@ -204,7 +204,12 @@ def experiment(name: str, **overrides) -> ExperimentConfig:
     val_bs = 10_000 if name == "model01" else 500
     cfg = ExperimentConfig(
         model=model,
-        data=DataConfig(dataset=_DATASETS[name], val_batch_size=val_bs),
+        data=DataConfig(
+            dataset=_DATASETS[name],
+            val_batch_size=val_bs,
+            # celeba trains with random horizontal flips (utils/data.py:88)
+            augment_flip=_DATASETS[name] == "celeba",
+        ),
         train=TrainConfig(n_updates=_N_UPDATES[name]),
     )
     if overrides:

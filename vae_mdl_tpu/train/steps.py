@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from vae_mdl_tpu.config import ExperimentConfig
-from vae_mdl_tpu.data.preprocess import binarize, dequantize
+from vae_mdl_tpu.data.preprocess import binarize, dequantize, random_flip
 from vae_mdl_tpu.models.objective import compute_loss
 from vae_mdl_tpu.models.vae import prior_for
 from vae_mdl_tpu.train.state import TrainState
@@ -43,8 +43,12 @@ def _train_step_body(model, cfg: ExperimentConfig,
     k = cfg.model.n_samples
 
     def step(state: TrainState, batch: jax.Array):
-        rngs = state.next_rngs("sample", "binarize")
+        rngs = state.next_rngs("sample", "binarize", "flip")
         x = preprocess(cfg, batch, rngs["binarize"])
+        if cfg.data.augment_flip:
+            # train-only augmentation (celeba parity, utils/data.py:88);
+            # eval/report paths never flip
+            x = random_flip(rngs["flip"], x)
 
         def loss_fn(params):
             Qs, Ps, pxz = model.apply(

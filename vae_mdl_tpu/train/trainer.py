@@ -67,7 +67,10 @@ class Trainer:
                 make_splits,
             )
 
-            self._splits = make_splits(cfg.data.dataset, cfg.data.data_dir)
+            self._splits = make_splits(
+                cfg.data.dataset, cfg.data.data_dir,
+                allow_synthetic_fallback=not cfg.data.strict,
+            )
             data = iterators_from_splits(
                 self._splits,
                 local_bs,
@@ -110,7 +113,10 @@ class Trainer:
             if self._splits is None:
                 from vae_mdl_tpu.data.pipeline import make_splits
 
-                self._splits = make_splits(cfg.data.dataset, cfg.data.data_dir)
+                self._splits = make_splits(
+                    cfg.data.dataset, cfg.data.data_dir,
+                    allow_synthetic_fallback=not cfg.data.strict,
+                )
             # the FULL split (not per-process shards): replicated device_put
             # requires identical values on every process, and the set fits
             # in HBM by assumption
@@ -316,6 +322,10 @@ class Trainer:
                 gen = model.apply(
                     state.params, z_top, rngs={"sample": k_gen}, method="generate"
                 )
+                # Gaussian obs: show the mean function, not noisy draws
+                # (reference parity: models/model02.py:205-221)
+                if cfg.model.likelihood == "gaussian":
+                    return x, recon, _obs_mean(gen.dist)
                 return x, recon, gen.sample
 
             self._report_jit = _report
@@ -329,13 +339,16 @@ class Trainer:
 
     # ------------------------------------------------------------------ test
 
-    def test(self, n_samples: int = 5000, ckpt: str = "best", **kwargs):
+    def test(self, n_samples: Optional[int] = None, ckpt: str = "best",
+             **kwargs):
         """Reference ``model.test(n_samples)`` parity
         (/root/reference/models/model01.py:196-204): restore the requested
         checkpoint and run the importance-weighted test evaluation.
+        ``n_samples`` defaults to ``cfg.train.n_eval_samples`` (5000).
         Returns (mean_llh, per_image_llh, metrics)."""
         from vae_mdl_tpu.evaluation import evaluate_llh
 
+        n_samples = n_samples or self.cfg.train.n_eval_samples
         state = self.state
         if ckpt and self.ckpt.has(ckpt):
             state = self.ckpt.restore(self.state, ckpt)
