@@ -4,28 +4,39 @@ The hottest op of the MoDL models (model05; SURVEY.md §2.2 item 2; jnp source
 of truth: distributions.mixture.mixture_log_prob, numerics parity
 /root/reference/utils/mdl.py:56-92,165-207).
 
-Layout: pixels ride the LANE axis (128-wide VPU), mixture components the
-sublane axis — one [3*n_mix, block] tile holds every sub-pixel/mixture
-parameter for a block of pixels, and the whole chain
+LAYOUT-FREE design (round 2; replaces the round-1 kernel that pre-transposed
+everything to a [params, pixels] layout on the host and lost to XLA fusion on
+the transpose traffic):
 
-    channel-autoregressed locs -> 3x discretized-logistic cascades ->
-    sub-pixel sum -> +log-softmax(mixture logits) -> logsumexp over mixtures
+- parameters stay in their native conv-output layout ``[..., H, W, 10n]``;
+  the only host-side op is a *reshape* to ``[K, P, 10n]`` (no data movement),
+  where K are leading importance-sample dims absent from x and P the pixels;
+- the x broadcast over K is an index_map (grid ``(K, P/BP)``; the x block
+  depends on the pixel index only) — never materialised;
+- each kernel instance loads one ``[BP, 10n]`` tile, transposes it to
+  ``[10n, BP]`` *in VMEM* (pixels ride the 128-wide lane axis, parameter
+  channels the sublane axis), and runs the whole chain in one pass:
 
-runs in VMEM with no [.., 3, n_mix] intermediates ever hitting HBM.
+      raw-param transforms (logscale clamp, tanh coeffs, x [0,1]->[-1,1])
+      -> channel-autoregressed locs -> 3x discretized-logistic cascades
+      -> sub-pixel sum -> +log-softmax(mixture logits) -> logsumexp over mixes
 
-The cheap per-parameter transforms (logscale clamp, tanh coeffs, the
-[0,1]->[-1,1] rescale) and the transpose into kernel layout stay in jnp —
-XLA fuses them into the producing conv's epilogue.
+  so no ``[.., 3, n_mix]`` intermediate ever touches HBM: traffic is one read
+  of the parameter tensor + one ``[.., 1]`` write, vs the many passes XLA's
+  fusion of the jnp chain makes over mixture-expanded temporaries.
 
-Backward: ``jax.vjp`` of the jnp reference.
+Backward: ``jax.vjp`` of the jnp reference (the kernel is forward-only; the
+5000-IS evaluation — where it matters most — takes no gradients).
 
-MEASURED (TPU v5e, 2026-08): XLA's own fusion of the jnp implementation beats
-this kernel both in training (17.6k vs 10.2k imgs/s on model05) and in the
-forward-only 5000-IS eval (25.9 vs 11.5 imgs/s) — the transposes into the
-[params, pixels] kernel layout cost more HBM traffic than the fusion saves.
-This is the outcome SURVEY.md §7 step 8 anticipated; the kernel therefore
-stays opt-in (``use_pallas``), correct (oracle-tested) and available as the
-substrate for a future layout-free variant.
+MEASURED (TPU v5e, 2026-08, end-to-end model05 5000-IS eval, batch 100,
+k_chunk 100): 59.1 imgs/s with bf16 conv body + this kernel vs 49.2 imgs/s
+bf16 + XLA-fused jnp chain vs 42.8 imgs/s for the round-1 f32 jnp config —
+the kernel's single pass replaces XLA's multiple passes over the
+mixture-expanded temporaries. The round-1 kernel (host-side transposes into
+[params, pixels] layout) lost to XLA on exactly that transpose traffic;
+this one reads the conv's native layout. Caveat: the parameter tensor
+must materialise as a kernel input, so k_chunk*batch is HBM-capacity
+bound (k_chunk=100 at batch<=100 fits v5e-1's 16 GB).
 """
 from __future__ import annotations
 
@@ -36,9 +47,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vae_mdl_tpu.distributions.mixture import mixture_log_prob, split_mixture_params
+from vae_mdl_tpu.distributions.mixture import mixture_log_prob
 
-_BLOCK_PIXELS = 1024
+_BLOCK_PIXELS = 2048
 _INTERVAL_WIDTH = 2.0 / 255.0
 _LOW, _HIGH = -1.0, 1.0
 
@@ -65,67 +76,79 @@ def _dl(x, loc, logscale):
     return lp
 
 
-def _kernel(x_ref, loc_ref, ls_ref, coef_ref, logits_ref, out_ref, *, n_mix):
+def _kernel(x_ref, p_ref, out_ref, *, n_mix):
+    """One [BP, 10n] raw parameter tile + [BP, 3] observations -> [1, BP].
+
+    Channel layout of the tile (split_mixture_params parity,
+    utils/mdl.py:94-112): ``[logits(0:n) | R: loc,ls,cf (n:4n) |
+    G: loc,ls,cf (4n:7n) | B: loc,ls,cf (7n:10n)]`` — the R-group coeffs
+    condition G on r, the G-group coeffs B on r, the B-group coeffs B on g
+    (coeffs[...,0/1/2,:] in the jnp reference).
+    """
     n = n_mix
-    x = x_ref[:]            # [3, BP]
-    loc = loc_ref[:]        # [3n, BP] rows: [r mixes | g mixes | b mixes]
-    ls = ls_ref[:]          # [3n, BP]
-    coef = coef_ref[:]      # [3n, BP]
-    logits = logits_ref[:]  # [n, BP]
+    pt = p_ref[0].astype(jnp.float32).T          # [10n, BP]
+    xt = x_ref[:].astype(jnp.float32).T * 2.0 - 1.0  # [3, BP] in [-1, 1]
 
-    xr, xg, xb = x[0:1], x[1:2], x[2:3]  # [1, BP] each
+    xr, xg, xb = xt[0:1], xt[1:2], xt[2:3]       # [1, BP]
 
-    # PixelCNN++ channel autoregression on the observed sub-pixels
-    # (/root/reference/utils/mdl.py:137-149)
-    loc_r = loc[0:n]
-    loc_g = loc[n:2 * n] + coef[0:n] * xr
-    loc_b = loc[2 * n:3 * n] + coef[n:2 * n] * xr + coef[2 * n:3 * n] * xg
+    logits = pt[0:n]
+    loc_r, ls_r, cf_r = pt[n:2 * n], pt[2 * n:3 * n], pt[3 * n:4 * n]
+    loc_g, ls_g, cf_g = pt[4 * n:5 * n], pt[5 * n:6 * n], pt[6 * n:7 * n]
+    loc_b, ls_b, cf_b = pt[7 * n:8 * n], pt[8 * n:9 * n], pt[9 * n:10 * n]
+
+    # raw-parameter transforms + channel autoregression on observed
+    # sub-pixels (utils/mdl.py:94-149)
+    loc_g = loc_g + jnp.tanh(cf_r) * xr
+    loc_b = loc_b + jnp.tanh(cf_g) * xr + jnp.tanh(cf_b) * xg
 
     lp = (
-        _dl(xr, loc_r, ls[0:n])
-        + _dl(xg, loc_g, ls[n:2 * n])
-        + _dl(xb, loc_b, ls[2 * n:3 * n])
+        _dl(xr, loc_r, jnp.maximum(ls_r, -7.0))
+        + _dl(xg, loc_g, jnp.maximum(ls_g, -7.0))
+        + _dl(xb, loc_b, jnp.maximum(ls_b, -7.0))
     )  # [n, BP]
 
     log_softmax = logits - jax.scipy.special.logsumexp(logits, axis=0,
                                                        keepdims=True)
     w = lp + log_softmax
-    out_ref[:] = jax.scipy.special.logsumexp(w, axis=0, keepdims=True)  # [1, BP]
+    lse = jax.scipy.special.logsumexp(w, axis=0, keepdims=True)  # [1, BP]
+    out_ref[:] = lse.reshape(out_ref.shape)  # out block [1, 1, 1, BP]
 
 
-def _to_kernel_layout(x01, parameters):
-    """(x01 [.., H, W, 3], params [.., H, W, 10n]) -> transposed per-pixel
-    operands with pixels padded to a lane multiple."""
-    # broadcast the leading dims (x carries no importance-sample axis; the
-    # parameters do — cf. the reshape-vs-repeat pitfall the reference
-    # documents at utils/mdl_openai_iwae.py:37-67, solved here by plain
-    # broadcasting)
+def _block_pixels(p: int) -> int:
+    """Largest power-of-two block <= _BLOCK_PIXELS dividing the pixel count
+    (32x32 and 28x28 images give p divisible by at least 16 whenever the
+    batch is even; tiny/ragged cases fall back to small blocks)."""
+    bp = _BLOCK_PIXELS
+    while bp > 1 and p % bp:
+        bp //= 2
+    return bp
+
+
+def _flatten_operands(x01, parameters):
+    """-> (x_flat [P, 3], p_flat [K, P, 10n], lead shape). Pure reshapes for
+    the common case (parameters carry extra LEADING importance-sample dims
+    over x — the reshape-vs-repeat pitfall the reference documents at
+    utils/mdl_openai_iwae.py:37-67, solved structurally); materialises the
+    broadcast only for exotic shapes."""
     lead = jnp.broadcast_shapes(x01.shape[:-1], parameters.shape[:-1])
-    x01 = jnp.broadcast_to(x01, lead + x01.shape[-1:])
-    parameters = jnp.broadcast_to(parameters, lead + parameters.shape[-1:])
-
-    loc, logscale, coeffs, mix_logits = split_mixture_params(
-        parameters.astype(jnp.float32)
-    )
-    x = x01.astype(jnp.float32) * 2.0 - 1.0
-
-    n_mix = mix_logits.shape[-1]
-    p = 1
-    for s in lead:
-        p *= s
-    pp = -(-p // _BLOCK_PIXELS) * _BLOCK_PIXELS
-
-    def t(a, rows):  # [.., rows_grouped] -> [rows, P_padded]
-        flat = a.reshape(p, rows).T
-        return jnp.zeros((rows, pp), jnp.float32).at[:, :p].set(flat)
-
-    # loc/logscale/coeffs are [.., 3, n_mix]: subpixel-major rows
-    xt = t(x, 3)
-    loct = t(loc, 3 * n_mix)
-    lst = t(logscale, 3 * n_mix)
-    coeft = t(coeffs, 3 * n_mix)
-    logitst = t(mix_logits, n_mix)
-    return xt, loct, lst, coeft, logitst, n_mix, p, pp, lead
+    xlead = x01.shape[:-1]
+    if parameters.shape[:-1] == lead and xlead == lead[len(lead) - len(xlead):]:
+        p = 1
+        for s in xlead:
+            p *= s
+        k = 1
+        for s in lead[: len(lead) - len(xlead)]:
+            k *= s
+    else:  # uncommon broadcast pattern: materialise
+        x01 = jnp.broadcast_to(x01, lead + x01.shape[-1:])
+        parameters = jnp.broadcast_to(parameters, lead + parameters.shape[-1:])
+        p = 1
+        for s in lead:
+            p *= s
+        k = 1
+    x_flat = x01.reshape(p, x01.shape[-1])
+    p_flat = parameters.reshape(k, p, parameters.shape[-1])
+    return x_flat, p_flat, k, p, lead
 
 
 @jax.custom_vjp
@@ -138,25 +161,29 @@ def mdl_log_prob(x01: jax.Array, parameters: jax.Array) -> jax.Array:
 def _forward(x01, parameters, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    xt, loct, lst, coeft, logitst, n_mix, p, pp, lead = _to_kernel_layout(
-        x01, parameters
-    )
-    grid = (pp // _BLOCK_PIXELS,)
+    n_mix = parameters.shape[-1] // 10
+    x_flat, p_flat, k, p, lead = _flatten_operands(x01, parameters)
+    bp = _block_pixels(p)
+    grid = (k, p // bp)
 
-    def spec(rows):
-        return pl.BlockSpec((rows, _BLOCK_PIXELS), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-
+    # output laid out [K, P/BP, 1, BP]: the block's trailing two dims (1, BP)
+    # match the array dims / 128-divisibility rule; reshaping back to [K, P]
+    # is free (row-major contiguity)
     out = pl.pallas_call(
         functools.partial(_kernel, n_mix=n_mix),
-        out_shape=jax.ShapeDtypeStruct((1, pp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k, p // bp, 1, bp), jnp.float32),
         grid=grid,
-        in_specs=[spec(3), spec(3 * n_mix), spec(3 * n_mix), spec(3 * n_mix),
-                  spec(n_mix)],
-        out_specs=spec(1),
+        in_specs=[
+            pl.BlockSpec((bp, x_flat.shape[-1]), lambda ik, ib: (ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bp, 10 * n_mix), lambda ik, ib: (ik, ib, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, bp), lambda ik, ib: (ik, ib, 0, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xt, loct, lst, coeft, logitst)
-    return out[0, :p].reshape(lead + (1,))
+    )(x_flat, p_flat)
+    return out.reshape(lead + (1,))
 
 
 def _fwd(x01, parameters):
