@@ -250,3 +250,28 @@ def test_zoo_wires_celeba_flip_and_eval_samples():
     assert experiment("biladder_celeba").data.augment_flip
     assert not experiment("model05").data.augment_flip
     assert experiment("model01").train.n_eval_samples == 5000
+
+
+def test_analytic_flops_accounting():
+    """utils/flops: closed-form conv/dense counts match hand-derived values
+    for the model05 decoder stack (bench.py's MFU denominator)."""
+    from vae_mdl_tpu.models.zoo import MODELS
+    from vae_mdl_tpu.utils.flops import analytic_model_flops, train_step_flops
+
+    # model05 decoder fwd per sample: dense 20->2048 (~84k) + deconv128
+    # (33.6M) + deconv64 (67.1M) + deconv32 (67.1M) + head conv50 (29.5M)
+    # ~= 197M; encoder ~= 165M; fwd/img = enc + 5*dec
+    f = analytic_model_flops(MODELS["model05"], 1)
+    assert 0.8e9 < f < 1.3e9
+    assert train_step_flops(MODELS["model05"], 1) == pytest.approx(3 * f)
+    # every family yields a positive, finite count
+    for name, m in MODELS.items():
+        if hasattr(m, "latents"):
+            assert analytic_flops_ok(m)
+
+
+def analytic_flops_ok(m):
+    from vae_mdl_tpu.utils.flops import analytic_model_flops
+
+    f = analytic_model_flops(m, 2)
+    return math.isfinite(f) and f > 0
