@@ -112,6 +112,19 @@ def main():
           f"step={int(state.step)} best={float(state.best_val_loss):.4f}",
           flush=True)
 
+    # ---- process-sharded test-set eval: batches strided across processes,
+    # per-image LLHs allgathered (VERDICT r1 item #8) ---------------------
+    from vae_mdl_tpu.evaluation import evaluate_llh
+
+    with jax.default_device(jax.local_devices()[0]):
+        mean_llh, per_image, em = evaluate_llh(
+            model, cfg, state.params, np.asarray(trainer.test_set[0][:96]),
+            n_samples=4, k_chunk=4, batch_size=16, progress=False,
+        )
+    print(f"EVAL_OK process={jax.process_index()} "
+          f"mean={mean_llh:.4f} local_batches={em['local_batches']} "
+          f"n={len(per_image)}", flush=True)
+
 
 if __name__ == "__main__":
     main()

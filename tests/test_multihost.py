@@ -65,3 +65,13 @@ def test_two_process_data_parallel_training():
     assert len(tlines) == 2, f"missing Trainer output: {outs}"
     bests = {l.split("best=")[1] for l in tlines}
     assert len(bests) == 1, f"best_val diverged across processes: {tlines}"
+
+    # process-sharded eval: each process computed HALF the batches, and the
+    # allgathered mean LLH is identical on both (VERDICT r1 item #8)
+    elines = [l for out in outs for l in out.splitlines()
+              if l.startswith("EVAL_OK")]
+    assert len(elines) == 2, f"missing eval output: {outs}"
+    means = {l.split("mean=")[1].split()[0] for l in elines}
+    assert len(means) == 1, f"sharded eval mean diverged: {elines}"
+    locals_ = [int(l.split("local_batches=")[1].split()[0]) for l in elines]
+    assert sorted(locals_) == [3, 3], f"work not split evenly: {elines}"
