@@ -20,11 +20,11 @@ from vae_mdl_tpu.train.steps import make_train_step
 
 def bench_train(name, *, bf16=False, pallas=False, batch=128, steps=50):
     cfg = experiment(name)
-    model_cfg = cfg.model
+    # force the flag (None would AUTO-select the MoDL kernel on TPU,
+    # defeating the A/B comparison)
+    model_cfg = dataclasses.replace(cfg.model, use_pallas=pallas)
     if bf16:
         model_cfg = dataclasses.replace(model_cfg, compute_dtype="bfloat16")
-    if pallas:
-        model_cfg = dataclasses.replace(model_cfg, use_pallas=True)
     cfg = dataclasses.replace(
         cfg, model=model_cfg, data=DataConfig(dataset="synthetic:svhn_cropped")
     )
@@ -53,9 +53,7 @@ def bench_train(name, *, bf16=False, pallas=False, batch=128, steps=50):
 def bench_eval(name, *, pallas=False, n_samples=5000, k_chunk=250, batch=50,
                reps=3):
     cfg = experiment(name)
-    model_cfg = cfg.model
-    if pallas:
-        model_cfg = dataclasses.replace(model_cfg, use_pallas=True)
+    model_cfg = dataclasses.replace(cfg.model, use_pallas=pallas)  # force, no auto
     cfg = dataclasses.replace(
         cfg, model=model_cfg,
         data=DataConfig(dataset="synthetic:svhn_cropped",

@@ -81,14 +81,73 @@ class TestMDLKernel:
                                    rtol=1e-5, atol=1e-5)
 
     def test_gradients_match(self):
-        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
-        x01 = (_binned(k1, (2, 4, 4, 3)) + 1.0) / 2.0
-        params = jax.random.normal(k2, (2, 4, 4, 30))
+        """The hand-derived backward kernel vs the jnp vjp.
 
-        g_pallas = jax.grad(lambda p: mdl_log_prob(x01, p).sum())(params)
-        g_ref = jax.grad(lambda p: mixture_log_prob(x01, p).sum())(params)
-        np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_ref),
-                                   rtol=1e-5, atol=1e-6)
+        Both are f32 evaluations of a cancellation-heavy derivative (CDF
+        differences over 1/255-wide bins), so they agree only to the shared
+        rounding-noise level — accuracy parity vs float64 truth is asserted
+        separately in test_backward_accuracy_parity_with_f64."""
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+        # leading importance-sample dim on params, edge pixels forced in,
+        # logscales pushed toward the -7 clamp, non-uniform cotangent
+        x01 = (_binned(k1, (3, 4, 4, 3)) + 1.0) / 2.0
+        x01 = x01.at[0, 0, 0].set(0.0).at[1, 1, 1].set(1.0)
+        params = jax.random.normal(k2, (2, 3, 4, 4, 30)) * 3.0
+        params = params.at[..., 4:7].add(-6.0)
+        wts = jax.random.normal(k3, (2, 3, 4, 4, 1))
+
+        gp_k, gx_k = jax.grad(
+            lambda p, x: jnp.sum(mdl_log_prob(x, p) * wts), argnums=(0, 1)
+        )(params, x01)
+        gp_r, gx_r = jax.grad(
+            lambda p, x: jnp.sum(mixture_log_prob(x, p) * wts), argnums=(0, 1)
+        )(params, x01)
+        np.testing.assert_allclose(np.asarray(gp_k), np.asarray(gp_r),
+                                   rtol=1e-2, atol=5e-3)
+        # the x cotangent routes through the jnp reference itself: exact
+        np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_r),
+                                   rtol=1e-6, atol=0)
+
+    def test_backward_accuracy_parity_with_f64(self):
+        """The analytic backward kernel is as accurate as the jnp f32 vjp
+        against a float64 ground truth (their mutual differences are shared
+        f32 rounding noise, not an error in the hand-derived gradients)."""
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+        x01 = (_binned(k1, (3, 4, 4, 3)) + 1.0) / 2.0
+        x01 = x01.at[0, 0, 0].set(0.0).at[1, 1, 1].set(1.0)
+        params = jax.random.normal(k2, (2, 3, 4, 4, 30)) * 3.0
+        wts = jax.random.normal(k3, (2, 3, 4, 4, 1))
+
+        g_ker = jax.grad(lambda p: jnp.sum(mdl_log_prob(x01, p) * wts))(params)
+        g_ref = jax.grad(lambda p: jnp.sum(mixture_log_prob(x01, p) * wts))(params)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            g_64 = jax.grad(
+                lambda p: jnp.sum(
+                    mixture_log_prob(
+                        x01.astype(jnp.float64), p) * wts.astype(jnp.float64)
+                )
+            )(params.astype(jnp.float64))
+            g_64 = np.asarray(g_64)  # materialise before x64 is switched off
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+        truth = np.asarray(g_64)
+        err_ker = np.abs(np.asarray(g_ker, np.float64) - truth)
+        err_ref = np.abs(np.asarray(g_ref, np.float64) - truth)
+        rms = lambda e: np.sqrt((e ** 2).mean())  # noqa: E731
+        assert rms(err_ker) <= 1.2 * rms(err_ref) + 1e-9
+
+    def test_use_pallas_auto_resolution(self):
+        """None = auto: MoDL kernel on TPU only; DL never auto; forced values
+        pass through. (The suite runs on CPU, so auto resolves False here.)"""
+        from vae_mdl_tpu.nn.decoders import resolve_use_pallas
+
+        assert resolve_use_pallas(None, "mdl") == (
+            jax.default_backend() == "tpu")
+        assert resolve_use_pallas(None, "dl") is False
+        assert resolve_use_pallas(True, "dl") is True
+        assert resolve_use_pallas(False, "mdl") is False
 
     def test_model05_with_pallas_flag(self):
         """End-to-end: model05 forward with use_pallas=True equals False."""

@@ -43,8 +43,8 @@ def _apply_overrides(cfg, args):
         train = dataclasses.replace(train, log_dir=args.log_dir)
     if args.bf16:
         model = dataclasses.replace(model, compute_dtype="bfloat16")
-    if args.pallas:
-        model = dataclasses.replace(model, use_pallas=True)
+    if args.pallas is not None:
+        model = dataclasses.replace(model, use_pallas=args.pallas)
     if args.no_resume:
         train = dataclasses.replace(train, resume=False)
     if getattr(args, "steps_per_call", None):
@@ -227,8 +227,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--mesh", help="DxS mesh, e.g. 4x2; 'none' disables")
         sp.add_argument("--bf16", action="store_true",
                         help="bfloat16 conv/matmul body")
-        sp.add_argument("--pallas", action="store_true",
-                        help="fused Pallas likelihood kernels")
+        sp.add_argument("--pallas", action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help="fused Pallas likelihood kernels (default auto: "
+                             "MoDL kernel on TPU, off elsewhere)")
         sp.add_argument("--no-resume", action="store_true")
         sp.add_argument("--profile", metavar="DIR",
                         help="capture a jax.profiler trace of ~20 steps")

@@ -74,7 +74,10 @@ class ModelConfig:
     encoder: EncoderConfig = EncoderConfig()
     decoder: DecoderConfig = DecoderConfig()
     compute_dtype: str = "float32"  # "bfloat16" for the conv/matmul body
-    use_pallas: bool = False  # fused Pallas likelihood kernels (dl/mdl)
+    # fused Pallas likelihood kernels: None = auto (MoDL kernel on TPU —
+    # measured faster than XLA fusion in train AND eval, docs/design.md §7 —
+    # off elsewhere); True/False force
+    use_pallas: Optional[bool] = None
     beta: float = 1.0  # KL weight in the bound (reference always 1.0)
     objective: str = "iwae"  # "iwae" | "elbo" (reference exports both)
 

@@ -21,7 +21,7 @@ every z (the deterministic h_i are broadcast against it — no recompute).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +53,7 @@ class BiLadderConfig:
     bound_logstd: bool = False
     n_mix: int = 5
     rezero: bool = True
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     compute_dtype: str = "float32"
     beta: float = 1.0
 

@@ -17,7 +17,7 @@ samples ride as a leading axis exactly as in the dense models.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +51,7 @@ class LadderConfig:
     bound_logstd: bool = False
     n_mix: int = 5
     rezero: bool = True
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     compute_dtype: str = "float32"
     beta: float = 1.0  # KL weight in the bound
 

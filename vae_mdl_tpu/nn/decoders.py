@@ -23,7 +23,7 @@ All heads emit float32 parameters; the conv/matmul body may run in bf16.
 from __future__ import annotations
 
 import math
-from typing import Any, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -47,11 +47,23 @@ Obs = Union[Bernoulli, Normal, DiscretizedLogistic,
 _IMAGE_AXES = (-1, -2, -3)
 
 
+def resolve_use_pallas(use_pallas: Optional[bool], likelihood: str) -> bool:
+    """``None`` = auto: the fused MoDL kernel on TPU only (measured faster
+    than XLA fusion in both train and eval, docs/design.md §7). The DL kernel
+    loses to XLA fusion on this workload and stays opt-in; CPU runs always
+    take the jnp path (interpret-mode kernels are a test vehicle, not a
+    performance one)."""
+    if use_pallas is None:
+        return likelihood == "mdl" and jax.default_backend() == "tpu"
+    return use_pallas
+
+
 def make_observation(
     out: jax.Array, likelihood: str, bound_logstd: bool = False,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
 ) -> Obs:
     """Turn raw head output into the configured observation distribution."""
+    use_pallas = resolve_use_pallas(use_pallas, likelihood)
     out = out.astype(jnp.float32)
     if likelihood == "bernoulli":
         return Bernoulli(out, event_axes=_IMAGE_AXES)
@@ -98,7 +110,7 @@ class MLPDecoder(nn.Module):
     likelihood: str = "bernoulli"
     n_mix: int = 5
     bound_logstd: bool = False
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -137,7 +149,7 @@ class ConvDecoder(nn.Module):
     likelihood: str = "gaussian"
     n_mix: int = 5
     bound_logstd: bool = False
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact

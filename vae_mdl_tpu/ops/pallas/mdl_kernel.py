@@ -25,18 +25,28 @@ the transpose traffic):
   of the parameter tensor + one ``[.., 1]`` write, vs the many passes XLA's
   fusion of the jnp chain makes over mixture-expanded temporaries.
 
-Backward: ``jax.vjp`` of the jnp reference (the kernel is forward-only; the
-5000-IS evaluation — where it matters most — takes no gradients).
+Backward: a second fused kernel (same grid/layout) computes d(out)/d(params)
+in one pass, recomputing the forward intermediates in VMEM — branch-for-branch
+matching the gradients JAX derives from the jnp reference's ``where`` cascades
+(gradient flows only through the selected branch; the ``max`` clamps mask
+their gradients). The x cotangent goes through the jnp reference instead: x
+is observed data in every training path, so that recompute is dead code XLA
+eliminates; it only executes if someone differentiates w.r.t. the images.
 
-MEASURED (TPU v5e, 2026-08, end-to-end model05 5000-IS eval, batch 100,
-k_chunk 100): 59.1 imgs/s with bf16 conv body + this kernel vs 49.2 imgs/s
-bf16 + XLA-fused jnp chain vs 42.8 imgs/s for the round-1 f32 jnp config —
-the kernel's single pass replaces XLA's multiple passes over the
-mixture-expanded temporaries. The round-1 kernel (host-side transposes into
-[params, pixels] layout) lost to XLA on exactly that transpose traffic;
-this one reads the conv's native layout. Caveat: the parameter tensor
-must materialise as a kernel input, so k_chunk*batch is HBM-capacity
-bound (k_chunk=100 at batch<=100 fits v5e-1's 16 GB).
+MEASURED (TPU v5e, 2026-08):
+- model05 5000-IS eval (batch 100, k_chunk 100): 59.1 imgs/s with bf16 conv
+  body + this kernel vs 49.2 imgs/s bf16 + XLA-fused jnp chain vs 42.8
+  imgs/s for the round-1 f32 jnp config;
+- model05 train (batch 128, k=5, fwd + fused bwd kernel): 21.2k imgs/s f32 /
+  22.3k bf16 vs 18.5k/19.6k for XLA's fusion of the jnp chain (+14%).
+The kernels' single pass replaces XLA's multiple passes over the
+mixture-expanded temporaries; the round-1 kernel (host-side transposes into
+[params, pixels] layout) lost to XLA on exactly that transpose traffic.
+Because the kernel wins both hot paths, it is the DEFAULT on TPU
+(config.use_pallas=None -> auto, resolved in nn.decoders.make_observation).
+Caveat: the parameter tensor must materialise as a kernel input, so
+k_chunk*batch is HBM-capacity bound (k_chunk=100 at batch<=100 fits v5e-1's
+16 GB).
 """
 from __future__ import annotations
 
@@ -74,6 +84,54 @@ def _dl(x, loc, logscale):
     lp = jnp.where(x <= _LOW, left_edge, lp)
     lp = jnp.where(x >= _HIGH, right_edge, lp)
     return lp
+
+
+def _dl_grads(t, loc, logscale):
+    """d(_dl)/d(loc, logscale, t) — analytic, branch-for-branch equal to
+    jax.grad of the jnp reference (discretized_logistic_log_prob):
+
+    - main branch   lp = log(max(sig(stop)-sig(start), 1e-12)): the max clamp
+      zeroes the gradient when the CDF difference is at the floor;
+    - approx branch lp = -a - logscale - 2 softplus(-a) + log(width);
+    - edge branches stop - softplus(stop) / -softplus(start); the edge
+      *conditions* compare t only, so they select but never differentiate.
+    """
+    dx = _INTERVAL_WIDTH / 2.0
+    inv_std = jnp.exp(-logscale)
+    centered = t - loc
+    start = (centered - dx) * inv_std
+    stop = (centered + dx) * inv_std
+
+    sg_stop = jax.nn.sigmoid(stop)
+    sg_start = jax.nn.sigmoid(start)
+    diff = sg_stop - sg_start
+    prob = jnp.maximum(diff, 1e-12)
+    live = diff > 1e-12
+    ds = jnp.where(live, sg_stop * (1.0 - sg_stop) / prob, 0.0)
+    da = jnp.where(live, sg_start * (1.0 - sg_start) / prob, 0.0)
+    d_loc = inv_std * (da - ds)
+    d_ls = da * start - ds * stop
+    d_t = inv_std * (ds - da)
+
+    a = centered * inv_std
+    c_ap = 2.0 * jax.nn.sigmoid(-a) - 1.0
+    use_log = prob > 1e-5
+    d_loc = jnp.where(use_log, d_loc, -c_ap * inv_std)
+    d_ls = jnp.where(use_log, d_ls, -c_ap * a - 1.0)
+    d_t = jnp.where(use_log, d_t, c_ap * inv_std)
+
+    left = t <= _LOW
+    le = jax.nn.sigmoid(-stop)
+    d_loc = jnp.where(left, -le * inv_std, d_loc)
+    d_ls = jnp.where(left, -le * stop, d_ls)
+    d_t = jnp.where(left, le * inv_std, d_t)
+
+    right = t >= _HIGH
+    ri = sg_start
+    d_loc = jnp.where(right, ri * inv_std, d_loc)
+    d_ls = jnp.where(right, ri * start, d_ls)
+    d_t = jnp.where(right, -ri * inv_std, d_t)
+    return d_loc, d_ls, d_t
 
 
 def _kernel(x_ref, p_ref, out_ref, *, n_mix):
@@ -186,14 +244,121 @@ def _forward(x01, parameters, interpret=None):
     return out.reshape(lead + (1,))
 
 
+def _bwd_kernel(x_ref, p_ref, g_ref, dp_ref, *, n_mix):
+    """One [BP, 10n] raw tile + [BP, 3] observations + [BP] cotangent
+    -> d(out)/d(raw tile), recomputing the forward chain in VMEM.
+
+    With s = softmax(w) over mixes (w the weighted per-mix log-probs) and
+    gw_i = g * s_i (logsumexp pullback):
+      d logits  = g * (s - softmax(logits))
+      d loc_c   = gw * dL_c                     (autoregression is additive)
+      d ls_c    = gw * dS_c * [ls_raw > -7]     (clamp mask)
+      d cf_r    = (gw * dL_g) * x_r * (1 - tanh(cf_r)^2)
+      d cf_g    = (gw * dL_b) * x_r * (1 - tanh(cf_g)^2)
+      d cf_b    = (gw * dL_b) * x_g * (1 - tanh(cf_b)^2)
+    where (dL_c, dS_c, _) = _dl_grads per channel.
+    """
+    n = n_mix
+    pt = p_ref[0].astype(jnp.float32).T              # [10n, BP]
+    xt = x_ref[:].astype(jnp.float32).T * 2.0 - 1.0  # [3, BP]
+    gv = g_ref[0, 0].astype(jnp.float32)             # [1, BP]
+
+    xr, xg, xb = xt[0:1], xt[1:2], xt[2:3]
+
+    logits = pt[0:n]
+    loc_r, ls_r_raw, cf_r_raw = pt[n:2 * n], pt[2 * n:3 * n], pt[3 * n:4 * n]
+    loc_g, ls_g_raw, cf_g_raw = pt[4 * n:5 * n], pt[5 * n:6 * n], pt[6 * n:7 * n]
+    loc_b, ls_b_raw, cf_b_raw = pt[7 * n:8 * n], pt[8 * n:9 * n], pt[9 * n:10 * n]
+
+    cf_r, cf_g, cf_b = jnp.tanh(cf_r_raw), jnp.tanh(cf_g_raw), jnp.tanh(cf_b_raw)
+    ls_r = jnp.maximum(ls_r_raw, -7.0)
+    ls_g = jnp.maximum(ls_g_raw, -7.0)
+    ls_b = jnp.maximum(ls_b_raw, -7.0)
+    lg = loc_g + cf_r * xr
+    lb = loc_b + cf_g * xr + cf_b * xg
+
+    lp = _dl(xr, loc_r, ls_r) + _dl(xg, lg, ls_g) + _dl(xb, lb, ls_b)
+    log_softmax = logits - jax.scipy.special.logsumexp(logits, axis=0,
+                                                       keepdims=True)
+    w = lp + log_softmax
+    s = jax.nn.softmax(w, axis=0)                    # [n, BP]
+    gw = gv * s
+
+    d_logits = gv * (s - jax.nn.softmax(logits, axis=0))
+
+    dL_r, dS_r, _ = _dl_grads(xr, loc_r, ls_r)
+    dL_g, dS_g, _ = _dl_grads(xg, lg, ls_g)
+    dL_b, dS_b, _ = _dl_grads(xb, lb, ls_b)
+    gL_r, gL_g, gL_b = gw * dL_r, gw * dL_g, gw * dL_b
+
+    def ls_grad(dS, ls_raw):
+        return jnp.where(ls_raw > -7.0, gw * dS, 0.0)
+
+    d_cf_r = gL_g * xr * (1.0 - cf_r * cf_r)
+    d_cf_g = gL_b * xr * (1.0 - cf_g * cf_g)
+    d_cf_b = gL_b * xg * (1.0 - cf_b * cf_b)
+
+    dpt = jnp.concatenate(
+        [
+            d_logits,
+            gL_r, ls_grad(dS_r, ls_r_raw), d_cf_r,
+            gL_g, ls_grad(dS_g, ls_g_raw), d_cf_g,
+            gL_b, ls_grad(dS_b, ls_b_raw), d_cf_b,
+        ],
+        axis=0,
+    )  # [10n, BP]
+    dp_ref[0] = dpt.T.astype(dp_ref.dtype)
+
+
+def _backward_params(x01, parameters, g, interpret=None):
+    """Fused d(mdl_log_prob)/d(parameters); same grid/layout as _forward."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_mix = parameters.shape[-1] // 10
+    x_flat, p_flat, k, p, lead = _flatten_operands(x01, parameters)
+    bp = _block_pixels(p)
+    grid = (k, p // bp)
+    g_flat = g.reshape(k, p // bp, 1, bp)  # inverse of _forward's out reshape
+
+    dp = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_mix=n_mix),
+        out_shape=jax.ShapeDtypeStruct(p_flat.shape, jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bp, x_flat.shape[-1]), lambda ik, ib: (ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bp, 10 * n_mix), lambda ik, ib: (ik, ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bp), lambda ik, ib: (ik, ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bp, 10 * n_mix), lambda ik, ib: (ik, ib, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_flat, p_flat, g_flat)
+    return dp.reshape(parameters.shape).astype(parameters.dtype)
+
+
 def _fwd(x01, parameters):
     return _forward(x01, parameters), (x01, parameters)
 
 
 def _bwd(res, g):
     x01, parameters = res
-    _, vjp = jax.vjp(mixture_log_prob, x01, parameters)
-    return vjp(g)
+    lead = jnp.broadcast_shapes(x01.shape[:-1], parameters.shape[:-1])
+    xlead = x01.shape[:-1]
+    common = (parameters.shape[:-1] == lead
+              and xlead == lead[len(lead) - len(xlead):])
+    if not common:  # exotic broadcast: fall back to the jnp reference vjp
+        _, vjp = jax.vjp(mixture_log_prob, x01, parameters)
+        return vjp(g)
+
+    d_params = _backward_params(x01, parameters, g)
+    # x cotangent via the jnp reference: x01 is observed data in every
+    # training path, so this recompute is unused there and XLA removes it.
+    _, x_vjp = jax.vjp(lambda x: mixture_log_prob(x, parameters), x01)
+    (d_x01,) = x_vjp(g)
+    return d_x01, d_params
 
 
 mdl_log_prob.defvjp(_fwd, _bwd)
