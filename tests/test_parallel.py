@@ -68,6 +68,42 @@ def test_data_parallel_step_matches_single_device():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_pallas_kernel_under_gspmd_mesh_matches_single_device():
+    """The fused MoDL Pallas kernel (default-on under TPU) stays correct when
+    the jitted train step runs GSPMD-sharded over a 4x2 mesh: each shard's
+    pallas_call sees its local block, the gradient all-reduce rides the
+    shardings. Interpret mode on CPU; the identical program compiles via
+    Mosaic on TPU (verified on hardware, docs/design.md §7)."""
+    import dataclasses
+
+    from vae_mdl_tpu.models.zoo import experiment
+
+    cfg = experiment("model05")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, use_pallas=True, n_latent=8,
+                                  n_samples=2),
+        data=dataclasses.replace(cfg.data, dataset="synthetic:svhn_cropped"),
+    )
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    state = create_train_state(model, cfg.train, jnp.zeros((16, 32, 32, 3)),
+                               cfg.model.n_samples)
+    step = make_train_step(model, cfg, tx, donate=False)
+    batch = np.random.default_rng(0).integers(0, 256, (16, 32, 32, 3),
+                                              dtype=np.uint8)
+
+    s1, m1 = step(state, jnp.asarray(batch))
+
+    mesh = make_mesh(MeshConfig(data=4, sample=2))
+    s2, m2 = step(shard_state(mesh, state), shard_batch(mesh, batch))
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    leaf1, leaf2 = (jax.tree.leaves(s.params)[0] for s in (s1, s2))
+    np.testing.assert_allclose(np.asarray(leaf1), np.asarray(leaf2),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_sample_sharded_eval_matches_unsharded():
     cfg = _cfg()
     model = build_model(cfg.model)
@@ -132,6 +168,95 @@ def test_shard_map_step_trains_and_stays_replicated():
     # output state must be fully replicated (one shard == global value)
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_shard_map_moments_not_gradient_sum():
+    """Regression: the shard_map step's optimizer moments must be EMAs of the
+    gradient MEAN over devices, not the SUM. Under jax's check_vma semantics,
+    reverse-mode AD w.r.t. replicated params auto-psums the gradient and an
+    explicit pmean then degenerates to identity — an 8x gradient that Adam's
+    scale invariance hides from parameter-level comparisons. Pin the moments
+    against the GSPMD jit path, whose gradient is the plain global-batch mean."""
+    from vae_mdl_tpu.parallel.spmd import make_shard_map_train_step
+
+    cfg = _cfg()
+    # disable per-device-noise streams so both paths see identical randomness:
+    # one sample draw per (image, k) either way requires same key; instead use
+    # a deterministic check on magnitude (the 8x bug is a factor, not noise)
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x_f32 = jnp.zeros((16, 28, 28, 1))
+    state = create_train_state(model, cfg.train, x_f32, cfg.model.n_samples)
+    batch = np.random.default_rng(0).integers(
+        0, 256, (16, 28, 28, 1), dtype=np.uint8
+    )
+    mesh = make_mesh(MeshConfig(data=8, sample=1))
+
+    step_jit = make_train_step(model, cfg, tx, donate=False)
+    s_jit, _ = step_jit(shard_state(mesh, state), shard_batch(mesh, batch))
+    mu_jit = np.concatenate([np.asarray(l).ravel()
+                             for l in jax.tree.leaves(s_jit.opt_state[0].mu)])
+
+    step_sm = make_shard_map_train_step(model, cfg, tx, mesh)
+    s_sm, _ = step_sm(shard_state(mesh, state), shard_batch(mesh, batch))
+    mu_sm = np.concatenate([np.asarray(l).ravel()
+                            for l in jax.tree.leaves(s_sm.opt_state[0].mu)])
+
+    # different RNG layouts -> different noise, but the NORM must agree to
+    # well under the 8x factor the bug introduced
+    ratio = np.linalg.norm(mu_sm) / np.linalg.norm(mu_jit)
+    assert 0.5 < ratio < 2.0, f"moment-norm ratio {ratio} (8x => gradient sum)"
+
+
+def test_zero1_sharded_optimizer_matches_shard_map_step():
+    """ZeRO-1 path (reduce-scatter grads, 1/ndev Adam moments per device,
+    all-gather params): computes the SAME update as the plain shard_map step
+    while the optimizer moments are genuinely sharded over the mesh."""
+    from vae_mdl_tpu.parallel.spmd import (
+        make_shard_map_train_step,
+        make_zero1_train_step,
+        zero1_opt_state,
+    )
+
+    cfg = _cfg()
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x_f32 = jnp.zeros((16, 28, 28, 1))
+    state = create_train_state(model, cfg.train, x_f32, cfg.model.n_samples)
+    batch = np.random.default_rng(0).integers(
+        0, 256, (16, 28, 28, 1), dtype=np.uint8
+    )
+    mesh = make_mesh(MeshConfig(data=8, sample=1))
+
+    s_ref = shard_state(mesh, state)
+    step_ref = make_shard_map_train_step(model, cfg, tx, mesh)
+
+    s_z = state.replace(
+        params=shard_state(mesh, state.params),
+        rng=shard_state(mesh, state.rng),
+        step=shard_state(mesh, state.step),
+        best_val_loss=shard_state(mesh, state.best_val_loss),
+        opt_state=zero1_opt_state(tx, state.params, mesh),
+    )
+    step_z = make_zero1_train_step(model, cfg, tx, mesh)
+
+    xb = shard_batch(mesh, batch)
+    for _ in range(3):
+        s_ref, m_ref = step_ref(s_ref, xb)
+        s_z, m_z = step_z(s_z, xb)
+
+    assert float(m_ref["loss"]) == pytest.approx(float(m_z["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_z.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # the Adam moments really live 1/ndev per device
+    mu = s_z.opt_state[0].mu
+    n_pad = mu.shape[0]
+    assert n_pad % 8 == 0
+    assert {sh.data.shape for sh in mu.addressable_shards} == {(n_pad // 8,)}
+    # and params stay fully replicated
+    assert jax.tree.leaves(s_z.params)[0].sharding.is_fully_replicated
 
 
 def test_trainer_and_eval_handle_indivisible_batches_under_mesh():

@@ -12,8 +12,16 @@ Two equivalent data-parallel paths exist in this framework:
 The two paths differ only in RNG layout (here each device folds its axis
 index into the sampling keys, so importance-sample noise is drawn per shard);
 updates are identical in expectation and params remain exactly replicated.
-Use this one for deterministic collective placement or to extend with custom
-overlap (e.g. reduce-scatter optimizers) later.
+Use this one for deterministic collective placement.
+
+``make_zero1_train_step`` extends it with a ZeRO-1 sharded optimizer:
+gradients are ``psum_scatter``'d (reduce-scatter) over ``data``, every device
+keeps only a 1/ndev slice of the Adam moments, updates its parameter slice,
+and an ``all_gather`` rebuilds the replicated params — optimizer memory drops
+by the data-axis size and the reduce-scatter + all-gather pair moves the same
+bytes as the plain all-reduce. Pointless at this repo's model sizes (≤3.4M
+params, SURVEY §2.3) but it is the standard TPU recipe the framework should
+carry for larger ones; both collectives ride ICI.
 """
 from __future__ import annotations
 
@@ -88,5 +96,145 @@ def make_shard_map_train_step(
         mesh=mesh,
         in_specs=(replicated, P("data")),
         out_specs=(replicated, replicated),
+        # classic per-device semantics. Under check_vma=True, reverse-mode AD
+        # w.r.t. the REPLICATED params inserts its own psum into the transpose
+        # (grads come back already summed over `data`) and the explicit pmean
+        # above then degenerates to identity — net effect: the optimizer sees
+        # the gradient SUM, 8x on an 8-mesh. Adam's scale invariance masked
+        # this; tests/test_parallel.py pins the moments against the jit path.
+        check_vma=False,
     )
     return jax.jit(mapped)
+
+
+# --- ZeRO-1: sharded optimizer state over the data axis -----------------------
+
+
+def _padded_flat_size(params, ndev: int) -> int:
+    n = sum(x.size for x in jax.tree.leaves(params))
+    return -(-n // ndev) * ndev
+
+
+def zero1_opt_state(tx: optax.GradientTransformation, params, mesh: Mesh):
+    """Optimizer state over the FLATTENED parameter vector, sharded on
+    ``data``: rank-1 leaves of size n_pad live P("data") (1/ndev per device),
+    scalars (step counts) replicate. Feed to ``make_zero1_train_step`` in
+    place of ``TrainState.opt_state``.
+    """
+    from jax.flatten_util import ravel_pytree
+    from jax.sharding import NamedSharding
+
+    ndev = 1
+    for a in mesh.axis_names:
+        ndev *= mesh.shape[a]
+    flat, _ = ravel_pytree(params)
+    n_pad = -(-flat.size // ndev) * ndev
+    flat = jnp.concatenate([flat, jnp.zeros(n_pad - flat.size, flat.dtype)])
+    opt_state = tx.init(flat)
+
+    def put(leaf):
+        if jnp.ndim(leaf) == 1 and leaf.shape[0] == n_pad:
+            return jax.device_put(leaf, NamedSharding(mesh, P(mesh.axis_names)))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, opt_state)
+
+
+def make_zero1_train_step(
+    model,
+    cfg: ExperimentConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+) -> Callable:
+    """(replicated state w/ zero1_opt_state, data-sharded batch) -> same.
+
+    Per device: local grads -> flatten -> ``psum_scatter`` over the flat
+    device axis (each device receives the mean of ITS slice) -> Adam on the
+    slice against its sharded moments -> ``all_gather`` of the updated
+    parameter slices -> unravel. Params stay replicated; optimizer moments
+    never materialise unsharded. Uses ALL mesh devices as one flat shard
+    axis (a pure data-parallel layout; pass a Dx1 mesh for clarity).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    prior = prior_for(cfg.model)
+    k = cfg.model.n_samples
+    axes = mesh.axis_names
+    ndev = 1
+    for a in axes:
+        ndev *= mesh.shape[a]
+
+    def per_device_step(state: TrainState, batch: jax.Array):
+        rngs = state.next_rngs("sample", "binarize")
+        didx = jax.lax.axis_index(axes)
+        rngs = {name: jax.random.fold_in(key, didx)
+                for name, key in rngs.items()}
+        x = preprocess(cfg, batch, rngs["binarize"])
+
+        def loss_fn(params):
+            Qs, Ps, pxz = model.apply(params, x, k,
+                                      rngs={"sample": rngs["sample"]})
+            return compute_loss(prior, Qs, Ps, pxz, x,
+                                beta=cfg.model.beta,
+                                objective=getattr(cfg.model, "objective",
+                                                  "iwae"))
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+
+        gflat, _ = ravel_pytree(grads)
+        n = gflat.size
+        n_pad = -(-n // ndev) * ndev
+        shard = n_pad // ndev
+        gflat = jnp.concatenate([gflat, jnp.zeros(n_pad - n, gflat.dtype)])
+        # reduce-scatter: mean of this device's 1/ndev gradient slice
+        g_mine = jax.lax.psum_scatter(
+            gflat.reshape(ndev, shard), axes, scatter_dimension=0
+        ) / ndev
+
+        pflat, punravel = ravel_pytree(state.params)
+        pflat = jnp.concatenate([pflat, jnp.zeros(n_pad - n, pflat.dtype)])
+        p_mine = jax.lax.dynamic_slice_in_dim(pflat, didx * shard, shard)
+
+        updates, opt_state = tx.update(g_mine, state.opt_state, p_mine)
+        new_p_mine = optax.apply_updates(p_mine, updates)
+
+        new_flat = jax.lax.all_gather(new_p_mine, axes, tiled=True)
+        new_params = punravel(new_flat[:n])
+
+        loss = jax.lax.pmean(loss, axes)
+        metrics = jax.tree.map(lambda m: jax.lax.pmean(jnp.mean(m), axes),
+                               metrics)
+        metrics["loss"] = loss
+        new_state = state.replace(
+            params=new_params, opt_state=opt_state, step=state.step + 1
+        )
+        return new_state, metrics
+
+    # in_specs: replicated state EXCEPT the flat opt-state moments (sharded
+    # over the flattened device axes); batch sharded over the same
+    def state_specs(state):
+        n_pad = _padded_flat_size(state.params, ndev)
+
+        def opt_spec(leaf):
+            if jnp.ndim(leaf) == 1 and leaf.shape[0] == n_pad:
+                return P(axes)
+            return P()
+
+        specs = jax.tree.map(lambda _: P(), state)
+        return specs.replace(opt_state=jax.tree.map(opt_spec, state.opt_state))
+
+    def step(state: TrainState, batch: jax.Array):
+        mapped = shard_map(
+            per_device_step,
+            mesh=mesh,
+            in_specs=(state_specs(state), P(axes)),
+            out_specs=(state_specs(state), P()),
+            # all_gathered params ARE replicated and psum'd metrics likewise,
+            # but the static varying-axes checker can't see through the gather
+            check_vma=False,
+        )
+        return mapped(state, batch)
+
+    return jax.jit(step)
