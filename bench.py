@@ -12,9 +12,10 @@ Additional keys in the same line:
   speed-of-light denominator VERDICT r1 item #2 asked for (the reference
   publishes no throughput numbers at all, SURVEY.md §6).
 - ``model01_imgs_per_sec``: the MLP/Bernoulli family's train throughput.
-- ``model05_eval5000_imgs_per_sec``: the 5000-importance-sample test
-  evaluation (bf16 conv body + layout-free Pallas MoDL kernel — the
-  likelihood math itself stays float32).
+- ``model05_eval5000_imgs_per_sec`` / ``eval_mfu``: the
+  5000-importance-sample test evaluation (bf16 conv body + layout-free
+  Pallas MoDL kernel — the likelihood math itself stays float32), with its
+  own analytic-FLOPs MFU (encoder once + 5000 decoder passes per image).
 """
 from __future__ import annotations
 
@@ -120,6 +121,15 @@ def main():
     tflops = imgs05 * flops_per_img / 1e12
     mfu = tflops * 1e12 / V5E_PEAK_FLOPS
 
+    import dataclasses as _dc
+
+    from vae_mdl_tpu.models.zoo import experiment as _exp
+    from vae_mdl_tpu.utils.flops import analytic_model_flops
+
+    eval_cfg = _dc.replace(_exp("model05").model, n_samples=5000)
+    eval_flops_img = analytic_model_flops(eval_cfg, batch=1)
+    eval_mfu = eval05 * eval_flops_img / V5E_PEAK_FLOPS
+
     print(
         json.dumps(
             {
@@ -135,6 +145,7 @@ def main():
                 "model05_bf16_imgs_per_sec": round(imgs05_bf16, 1),
                 "model01_imgs_per_sec": round(imgs01, 1),
                 "model05_eval5000_imgs_per_sec": round(eval05, 1),
+                "eval_mfu": round(eval_mfu, 4),
             }
         )
     )

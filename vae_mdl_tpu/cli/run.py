@@ -53,6 +53,8 @@ def _apply_overrides(cfg, args):
         train = dataclasses.replace(train, device_dataset=True)
     if getattr(args, "strict_data", False):
         data = dataclasses.replace(data, strict=True)
+    if getattr(args, "ema", None) is not None:
+        train = dataclasses.replace(train, ema_decay=args.ema)
     return dataclasses.replace(cfg, model=model, data=data, train=train)
 
 
@@ -117,8 +119,10 @@ def _final_eval(trainer, cfg, n_samples, mesh) -> None:
 
     state = trainer.ckpt.restore(trainer.state, "best") if trainer.ckpt.has(
         "best") else trainer.state
+    from vae_mdl_tpu.train.state import eval_params
+
     mean_llh, _, metrics = evaluate_llh(
-        trainer.model, cfg, state.params, trainer.test_set[0],
+        trainer.model, cfg, eval_params(cfg.train, state), trainer.test_set[0],
         n_samples=n_samples, mesh=mesh,
     )
     print(f"[eval] {n_samples}-IS test LLH: {mean_llh:.2f} nats, "
@@ -161,9 +165,11 @@ def cmd_eval(args) -> None:
     from vae_mdl_tpu.evaluation import evaluate_llh
 
     n_samples = args.n_samples or cfg.train.n_eval_samples
+    from vae_mdl_tpu.train.state import eval_params
+
     mean_llh, _, metrics = evaluate_llh(
-        trainer.model, cfg, trainer.state.params, trainer.test_set[0],
-        n_samples=n_samples, mesh=mesh,
+        trainer.model, cfg, eval_params(cfg.train, trainer.state),
+        trainer.test_set[0], n_samples=n_samples, mesh=mesh,
     )
     print(f"[eval] {n_samples}-IS test LLH: {mean_llh:.2f} nats, "
           f"bpd: {metrics['bpd']:.4f}")
@@ -186,8 +192,10 @@ def cmd_sample(args) -> None:
     if trainer.ckpt.has(args.ckpt):
         trainer.state = trainer.ckpt.restore(trainer.state, args.ckpt)
     sampler = make_sampler(trainer.model, cfg.model)
-    imgs = np.asarray(sampler(trainer.state.params, jax.random.PRNGKey(0),
-                              args.n))
+    from vae_mdl_tpu.train.state import eval_params
+
+    imgs = np.asarray(sampler(eval_params(cfg.train, trainer.state),
+                              jax.random.PRNGKey(0), args.n))
     out = args.out or f"./assets/{cfg.model.name}_prior_samples.png"
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     save_png(fill_canvas(imgs, int(math.sqrt(args.n))), out)
@@ -232,6 +240,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="fused Pallas likelihood kernels (default auto: "
                              "MoDL kernel on TPU, off elsewhere)")
         sp.add_argument("--no-resume", action="store_true")
+        sp.add_argument("--ema", type=float, metavar="DECAY",
+                        help="per-step EMA decay of the params (e.g. 0.999); "
+                             "val/test/report then use the EMA weights")
         sp.add_argument("--profile", metavar="DIR",
                         help="capture a jax.profiler trace of ~20 steps")
         sp.add_argument("--steps-per-call", type=int,

@@ -124,6 +124,10 @@ class TrainConfig:
     checkpoint_dir: str = "./saved_models"
     log_dir: str = "/tmp/tensorboard"
     resume: bool = True  # auto-resume from the latest full-state checkpoint
+    # >0: keep an exponential moving average of the params (decay per step);
+    # val/test/report then use the EMA weights (standard hierarchical-VAE
+    # practice, e.g. VDVAE; not in the reference — production extension)
+    ema_decay: float = 0.0
     report_images: bool = True  # log image grids at each eval interval
     n_eval_samples: int = 5000  # importance samples for the final eval
 

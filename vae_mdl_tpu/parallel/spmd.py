@@ -37,7 +37,7 @@ from vae_mdl_tpu.config import ExperimentConfig
 from vae_mdl_tpu.models.objective import compute_loss
 from vae_mdl_tpu.models.vae import prior_for
 from vae_mdl_tpu.train.steps import preprocess
-from vae_mdl_tpu.train.state import TrainState
+from vae_mdl_tpu.train.state import TrainState, ema_update
 
 
 def make_shard_map_train_step(
@@ -83,8 +83,14 @@ def make_shard_map_train_step(
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if cfg.train.ema_decay > 0 and ema is not None:
+            # params are exactly replicated after the pmean'd update, so the
+            # per-device EMA stays replicated too
+            ema = ema_update(cfg.train.ema_decay, ema, params)
         new_state = state.replace(
-            params=params, opt_state=opt_state, step=state.step + 1
+            params=params, opt_state=opt_state, step=state.step + 1,
+            ema_params=ema,
         )
         metrics["loss"] = loss
         return new_state, metrics
@@ -207,8 +213,13 @@ def make_zero1_train_step(
         metrics = jax.tree.map(lambda m: jax.lax.pmean(jnp.mean(m), axes),
                                metrics)
         metrics["loss"] = loss
+        ema = state.ema_params
+        if cfg.train.ema_decay > 0 and ema is not None:
+            # EMA over the all-gathered (replicated) params
+            ema = ema_update(cfg.train.ema_decay, ema, new_params)
         new_state = state.replace(
-            params=new_params, opt_state=opt_state, step=state.step + 1
+            params=new_params, opt_state=opt_state, step=state.step + 1,
+            ema_params=ema,
         )
         return new_state, metrics
 

@@ -26,6 +26,9 @@ class TrainState:
     step: jax.Array  # int32 scalar
     rng: jax.Array  # base key; per-step keys are folded from (rng, step)
     best_val_loss: jax.Array  # f32 scalar; +inf at init
+    # exponential moving average of params (TrainConfig.ema_decay > 0);
+    # None (empty pytree) when EMA is disabled
+    ema_params: Any = None
 
     def next_rngs(self, *streams: str):
         """Per-step, per-stream keys: fold_in(step), then fold_in a stable
@@ -78,7 +81,21 @@ def create_train_state(
         step=jnp.zeros((), jnp.int32),
         rng=k_state,
         best_val_loss=jnp.asarray(jnp.inf, jnp.float32),
+        ema_params=jax.tree.map(jnp.copy, params) if cfg.ema_decay > 0 else None,
     )
+
+
+def ema_update(decay: float, ema_params, params):
+    """One EMA step: ``ema <- decay * ema + (1 - decay) * params``."""
+    return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p,
+                        ema_params, params)
+
+
+def eval_params(cfg: TrainConfig, state: TrainState):
+    """Weights for val/test/report: the EMA copy when enabled, else params."""
+    if cfg.ema_decay > 0 and state.ema_params is not None:
+        return state.ema_params
+    return state.params
 
 
 def init_output_bias(state: TrainState, train_mean: jax.Array) -> TrainState:
@@ -106,4 +123,12 @@ def init_output_bias(state: TrainState, train_mean: jax.Array) -> TrainState:
         return logits.astype(leaf.dtype) if path == target else leaf
 
     new_params = jax.tree_util.tree_map_with_path(replace, params)
-    return state.replace(params=new_params)
+    ema = state.ema_params
+    if ema is not None:  # keep the EMA copy in sync with the re-initialised bias
+        # fresh buffer: sharing `logits` between params and ema_params would
+        # be a double-donation under the train step's donate_argnums
+        def replace_copy(path, leaf):
+            return jnp.copy(logits).astype(leaf.dtype) if path == target else leaf
+
+        ema = jax.tree_util.tree_map_with_path(replace_copy, ema)
+    return state.replace(params=new_params, ema_params=ema)

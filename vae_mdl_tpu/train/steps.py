@@ -22,7 +22,7 @@ from vae_mdl_tpu.config import ExperimentConfig
 from vae_mdl_tpu.data.preprocess import binarize, dequantize, random_flip
 from vae_mdl_tpu.models.objective import compute_loss
 from vae_mdl_tpu.models.vae import prior_for
-from vae_mdl_tpu.train.state import TrainState
+from vae_mdl_tpu.train.state import TrainState, ema_update, eval_params
 
 
 def _scalarize(metrics):
@@ -64,8 +64,12 @@ def _train_step_body(model, cfg: ExperimentConfig,
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if cfg.train.ema_decay > 0 and ema is not None:
+            ema = ema_update(cfg.train.ema_decay, ema, params)
         new_state = state.replace(
-            params=params, opt_state=opt_state, step=state.step + 1
+            params=params, opt_state=opt_state, step=state.step + 1,
+            ema_params=ema,
         )
         out = _scalarize(metrics)
         out["loss"] = loss
@@ -163,7 +167,8 @@ def make_eval_step(
         rngs = state.next_rngs("eval_sample", "eval_binarize")
         x = preprocess(cfg, batch, rngs["eval_binarize"])
         Qs, Ps, pxz = model.apply(
-            state.params, x, k, rngs={"sample": rngs["eval_sample"]}
+            eval_params(cfg.train, state), x, k,
+            rngs={"sample": rngs["eval_sample"]},
         )
         loss, metrics = compute_loss(prior, Qs, Ps, pxz, x,
                                      beta=cfg.model.beta,

@@ -20,7 +20,8 @@ import numpy as np
 from vae_mdl_tpu.config import ExperimentConfig
 from vae_mdl_tpu.models.vae import VAE, build_model
 from vae_mdl_tpu.train.checkpoint import Checkpointer
-from vae_mdl_tpu.train.state import TrainState, create_train_state, make_optimizer
+from vae_mdl_tpu.train.state import (TrainState, create_train_state,
+                                     eval_params, make_optimizer)
 from vae_mdl_tpu.train.steps import (
     make_eval_step,
     make_multi_train_step,
@@ -313,14 +314,15 @@ class Trainer:
             def _report(state, batch):
                 rngs = state.next_rngs("rep_sample", "rep_binarize", "rep_prior")
                 x = preprocess(cfg, batch, rngs["rep_binarize"])
+                params = eval_params(cfg.train, state)
                 Qs, Ps, pxz = model.apply(
-                    state.params, x, 1, rngs={"sample": rngs["rep_sample"]}
+                    params, x, 1, rngs={"sample": rngs["rep_sample"]}
                 )
                 recon = _obs_mean(pxz.dist)[0]  # first (only) importance sample
                 k_prior, k_gen = jax.random.split(rngs["rep_prior"])
                 z_top = jax.random.normal(k_prior, (batch.shape[0],) + top_shape)
                 gen = model.apply(
-                    state.params, z_top, rngs={"sample": k_gen}, method="generate"
+                    params, z_top, rngs={"sample": k_gen}, method="generate"
                 )
                 # Gaussian obs: show the mean function, not noisy draws
                 # (reference parity: models/model02.py:205-221)
@@ -353,8 +355,8 @@ class Trainer:
         if ckpt and self.ckpt.has(ckpt):
             state = self.ckpt.restore(self.state, ckpt)
         return evaluate_llh(
-            self.model, self.cfg, state.params, self.test_set[0],
-            n_samples=n_samples, mesh=self.mesh, **kwargs,
+            self.model, self.cfg, eval_params(self.cfg.train, state),
+            self.test_set[0], n_samples=n_samples, mesh=self.mesh, **kwargs,
         )
 
 
