@@ -41,7 +41,12 @@ def _train_throughput(name: str, spc: int = 10, n_iters: int = 5,
 
     cfg = experiment(name)
     shape = cfg.model.image_shape
-    ds = "synthetic:mnist" if shape[2] == 1 else "synthetic:svhn_cropped"
+    if shape[2] == 1:
+        ds = "synthetic:mnist"
+    elif shape[0] == 64:
+        ds = "synthetic:celeba"
+    else:
+        ds = "synthetic:svhn_cropped"
     cfg = dataclasses.replace(
         cfg,
         data=DataConfig(dataset=ds),
@@ -130,6 +135,11 @@ def main():
     eval_flops_img = analytic_model_flops(eval_cfg, batch=1)
     eval_mfu = eval05 * eval_flops_img / V5E_PEAK_FLOPS
 
+    # 64x64 CelebA-scale bidirectional ladder (capability beyond the
+    # reference's 32x32 families) — train throughput + its own MFU
+    imgs_bl, flops_bl = _train_throughput("biladder_celeba", spc=5, n_iters=3)
+    bl_mfu = imgs_bl * (flops_bl / 128) / V5E_PEAK_FLOPS
+
     print(
         json.dumps(
             {
@@ -146,6 +156,8 @@ def main():
                 "model01_imgs_per_sec": round(imgs01, 1),
                 "model05_eval5000_imgs_per_sec": round(eval05, 1),
                 "eval_mfu": round(eval_mfu, 4),
+                "biladder_celeba64_imgs_per_sec": round(imgs_bl, 1),
+                "biladder_celeba64_mfu": round(bl_mfu, 4),
             }
         )
     )

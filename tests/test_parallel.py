@@ -315,3 +315,39 @@ def test_device_dataset_under_mesh():
     tr = Trainer(cfg, mesh=mesh)
     state = tr.fit(progress=False)
     assert int(state.step) == 4
+
+
+def test_ema_stays_replicated_under_mesh():
+    """EMA params follow the GSPMD data-parallel step and remain replicated
+    (identical across devices) and equal to the single-device EMA."""
+    from vae_mdl_tpu.config import TrainConfig
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(cfg, train=TrainConfig(ema_decay=0.9))
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x_f32 = jnp.zeros((16, 28, 28, 1))
+    state = create_train_state(model, cfg.train, x_f32, cfg.model.n_samples)
+    assert state.ema_params is not None
+    step = make_train_step(model, cfg, tx, donate=False)
+
+    batch = np.random.default_rng(1).integers(
+        0, 256, (16, 28, 28, 1), dtype=np.uint8
+    )
+
+    s1, _ = step(state, jnp.asarray(batch))  # single device
+
+    mesh = make_mesh(MeshConfig(data=8, sample=1))
+    sharded = shard_state(mesh, state)
+    s8, _ = step(sharded, shard_batch(mesh, batch))
+
+    # tolerance: all-reduce summation order differs from the single-device
+    # reduction; the noise propagates through Adam into params and the EMA
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5),
+        s1.ema_params, s8.ema_params,
+    )
+    # replicated layout: one shard per device, all equal
+    leaf = jax.tree.leaves(s8.ema_params)[0]
+    assert leaf.sharding.is_fully_replicated

@@ -275,3 +275,26 @@ def analytic_flops_ok(m):
 
     f = analytic_model_flops(m, 2)
     return math.isfinite(f) and f > 0
+
+
+def test_biladder_flops_accounting():
+    """utils/flops.biladder_flops: linear in batch, grows with k, and
+    forward_flops dispatches BiLadderConfig to it (bench.py's ladder MFU)."""
+    from vae_mdl_tpu.models.bidirectional import BILADDER_CELEBA, BILADDER_SVHN
+    from vae_mdl_tpu.utils.flops import biladder_flops, forward_flops
+
+    f1 = biladder_flops(BILADDER_CELEBA, 1)
+    assert math.isfinite(f1) and f1 > 0
+    assert biladder_flops(BILADDER_CELEBA, 3) == pytest.approx(3 * f1)
+    # top-down cost scales with importance samples; bottom-up does not
+    f_k10 = biladder_flops(BILADDER_CELEBA, 1, n_samples=10)
+    assert f1 < f_k10 < 2 * f1
+    # 64x64/4-scale costs more than 32x32/3-scale
+    assert f1 > biladder_flops(BILADDER_SVHN, 1)
+    assert forward_flops(BILADDER_CELEBA, 1) == pytest.approx(f1)
+    # dense-family dispatch unchanged
+    from vae_mdl_tpu.models.zoo import MODELS
+    from vae_mdl_tpu.utils.flops import analytic_model_flops
+
+    assert forward_flops(MODELS["model05"], 1) == pytest.approx(
+        analytic_model_flops(MODELS["model05"], 1))

@@ -101,6 +101,86 @@ def analytic_model_flops(model_cfg, batch: int = 1) -> float:
     return batch * (enc + k * (dec + mlp))
 
 
+def forward_flops(model_cfg, batch: int = 1,
+                  n_samples: Optional[int] = None) -> float:
+    """Forward FLOPs per batch for any model family's config."""
+    if type(model_cfg).__name__ == "BiLadderConfig":
+        return biladder_flops(model_cfg, batch, n_samples)
+    if n_samples is not None:
+        import dataclasses
+
+        model_cfg = dataclasses.replace(model_cfg, n_samples=n_samples)
+    return analytic_model_flops(model_cfg, batch)
+
+
 def train_step_flops(model_cfg, batch: int) -> float:
     """Forward + backward (2x forward) per optimizer step."""
-    return 3.0 * analytic_model_flops(model_cfg, batch)
+    return 3.0 * forward_flops(model_cfg, batch)
+
+
+def _residual_block_flops(hw, c_in: int, hidden: int, out: int) -> float:
+    """1x1 -> 3x3 -> 3x3 -> 1x1 bottleneck (+1x1 shortcut when widths change),
+    nn/blocks.py ResidualBlock."""
+    fl = 0.0
+    fl += _conv_flops(hw, c_in, hidden, 1, 1, False)[0]
+    fl += _conv_flops(hw, hidden, hidden, 3, 1, False)[0]
+    fl += _conv_flops(hw, hidden, hidden, 3, 1, False)[0]
+    fl += _conv_flops(hw, hidden, out, 1, 1, False)[0]
+    if c_in != out:
+        fl += _conv_flops(hw, c_in, out, 1, 1, False)[0]
+    return fl
+
+
+def biladder_flops(cfg, batch: int = 1, n_samples: Optional[int] = None) -> float:
+    """Closed-form forward FLOPs per batch for a BiLadderConfig
+    (models/bidirectional.py): the bottom-up deterministic path runs once per
+    image; the top-down stochastic path (upsample blocks, prior/merge heads,
+    observation decoder) runs once per importance sample."""
+    from vae_mdl_tpu.nn.decoders import head_channels
+
+    H, W, C = cfg.image_shape
+    k = cfg.n_samples if n_samples is None else n_samples
+    stages = cfg.stages
+    L = len(stages)
+
+    # resolutions: res_in[i] going into stage i's pool; res[i] = z_i's scale
+    res = []
+    hw = (H, W)
+    for (_h, _lat, _n, rate) in stages:
+        hw = (hw[0] // rate, hw[1] // rate)
+        res.append(hw)
+
+    # bottom-up, per image
+    per_img = _conv_flops((H, W), C, cfg.stem_features, 3, 1, False)[0]
+    c_in, hw = cfg.stem_features, (H, W)
+    for i, (h_w, _lat, n_b, rate) in enumerate(stages):
+        for b in range(n_b):
+            per_img += _residual_block_flops(hw, c_in if b == 0 else h_w,
+                                             h_w, h_w)
+        c_in, hw = h_w, res[i]
+    # top posterior head (per image: hs[-1] has no sample axis yet)
+    per_img += _conv_flops(res[-1], stages[-1][0], 2 * stages[-1][1], 3, 1,
+                           False)[0]
+
+    # top-down, per importance sample
+    per_sample = 0.0
+    for i in range(L - 2, -1, -1):
+        h_w, lat, n_b, _ = stages[i]
+        lat_above = stages[i + 1][1]
+        # up_blocks[i]: upsample z_{i+1} (bilinear, FLOP-noise) + n_b blocks
+        for b in range(n_b):
+            per_sample += _residual_block_flops(
+                res[i], lat_above if b == 0 else h_w, h_w, h_w)
+        # prior head p(z_i|z_{i+1}) and merge head q(z_i|x, z_{>i})
+        per_sample += _conv_flops(res[i], h_w, 2 * lat, 3, 1, False)[0]
+        per_sample += _conv_flops(res[i], 2 * h_w, 2 * lat, 3, 1, False)[0]
+    # observation decoder: obs_up from z_1 back to full res + likelihood head
+    h0, lat0, n0, _r0 = stages[0]
+    for b in range(n0):
+        per_sample += _residual_block_flops((H, W), lat0 if b == 0 else h0,
+                                            h0, h0)
+    per_sample += _conv_flops(
+        (H, W), h0, head_channels(cfg.likelihood, C, cfg.n_mix), 3, 1, False
+    )[0]
+
+    return batch * (per_img + k * per_sample)
