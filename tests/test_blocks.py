@@ -117,3 +117,71 @@ def test_receptive_fields():
     # the centre itself)
     assert nzr.min(0).tolist() >= [6, 6]
     assert nzr.max(0).tolist() <= [10, 10]
+
+
+def test_polyphase_conv_transpose_equivalence():
+    """PolyphaseConvTranspose == nn.ConvTranspose(k=2s, stride s, SAME) with
+    the SAME parameter pytree (kernel/bias names and shapes), on plain and
+    leading-sample-axis inputs, values AND gradients. The polyphase form is
+    the MXU-dense evaluation (scripts/deconv_bench.py: 3.2-8.2x on TPU)."""
+    import flax.linen as nn
+    from vae_mdl_tpu.nn.encoders import PolyphaseConvTranspose
+
+    key = jax.random.PRNGKey(7)
+    for (h, w, cin, f) in [(4, 4, 16, 12), (8, 8, 13, 7), (5, 7, 3, 6)]:
+        x = jax.random.normal(jax.random.fold_in(key, h), (3, h, w, cin))
+        ref = nn.ConvTranspose(f, (4, 4), strides=(2, 2), padding="SAME")
+        params = ref.init(jax.random.fold_in(key, w), x)
+        poly = PolyphaseConvTranspose(f, 4, 2)
+
+        y_ref = ref.apply(params, x)
+        y_poly = poly.apply(params, x)
+        assert y_ref.shape == (3, 2 * h, 2 * w, f) == y_poly.shape
+        np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_poly),
+                                   rtol=1e-5, atol=1e-5)
+
+        # leading importance-sample axis
+        x5 = jax.random.normal(jax.random.fold_in(key, 5), (2, 3, h, w, cin))
+        np.testing.assert_allclose(
+            np.asarray(ref.apply(params, x5)),
+            np.asarray(poly.apply(params, x5)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+        # gradients w.r.t. params agree
+        g_ref = jax.grad(lambda p: jnp.sum(ref.apply(p, x) ** 2))(params)
+        g_poly = jax.grad(lambda p: jnp.sum(poly.apply(p, x) ** 2))(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4),
+            g_ref, g_poly,
+        )
+
+
+def test_conv_stack_polyphase_matches_deconv_stack():
+    """apply_conv_stack(polyphase=True) equals the nn.ConvTranspose stack on
+    the model05 decoder geometry with shared params."""
+    import flax.linen as fnn
+
+    from vae_mdl_tpu.nn.encoders import apply_conv_stack, ConvSpec
+
+    specs = (
+        ConvSpec(32, 4, 2, True, "relu"),
+        ConvSpec(6, 4, 2, True, "none"),
+    )
+
+    class Stack(fnn.Module):
+        polyphase: bool
+
+        @fnn.compact
+        def __call__(self, x):
+            return apply_conv_stack(specs, x, jnp.float32,
+                                    polyphase=self.polyphase)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 16))
+    ref = Stack(polyphase=False)
+    params = ref.init(jax.random.PRNGKey(1), x)
+    y_ref = ref.apply(params, x)
+    y_poly = Stack(polyphase=True).apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_poly),
+                               rtol=1e-5, atol=1e-5)
