@@ -79,7 +79,7 @@ def _train_throughput(name: str, spc: int = 10, n_iters: int = 5,
         state, metrics = train_step(state, batch)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
-    return n_iters * spc * batch_size / dt, flops_step
+    return n_iters * spc * batch_size / dt, flops_step, batch_size
 
 
 def _eval_throughput(batch_size: int = 100, k_chunk: int = 100,
@@ -116,12 +116,11 @@ def _eval_throughput(batch_size: int = 100, k_chunk: int = 100,
 
 
 def main():
-    imgs05, flops_step = _train_throughput("model05")
-    imgs05_bf16, _ = _train_throughput("model05", compute_dtype="bfloat16")
-    imgs01, _ = _train_throughput("model01")
+    imgs05, flops_step, batch = _train_throughput("model05")
+    imgs05_bf16, _, _ = _train_throughput("model05", compute_dtype="bfloat16")
+    imgs01, _, _ = _train_throughput("model01")
     eval05 = _eval_throughput()
 
-    batch = 128
     flops_per_img = flops_step / batch
     tflops = imgs05 * flops_per_img / 1e12
     mfu = tflops * 1e12 / V5E_PEAK_FLOPS
@@ -137,8 +136,9 @@ def main():
 
     # 64x64 CelebA-scale bidirectional ladder (capability beyond the
     # reference's 32x32 families) — train throughput + its own MFU
-    imgs_bl, flops_bl = _train_throughput("biladder_celeba", spc=5, n_iters=3)
-    bl_mfu = imgs_bl * (flops_bl / 128) / V5E_PEAK_FLOPS
+    imgs_bl, flops_bl, batch_bl = _train_throughput("biladder_celeba", spc=5,
+                                                    n_iters=3)
+    bl_mfu = imgs_bl * (flops_bl / batch_bl) / V5E_PEAK_FLOPS
 
     print(
         json.dumps(

@@ -143,6 +143,49 @@ def test_ema_checkpoint_roundtrip():
     )
 
 
+def test_ema_checkpoint_structure_mismatch_reconciles():
+    """A checkpoint written with EMA restores into an EMA-less state (flag
+    dropped on eval/resume) and vice versa (EMA turned on mid-run seeds from
+    the restored params) — code-review finding: strict Orbax restore would
+    hard-fail on the pytree structure change either way."""
+    from vae_mdl_tpu.train.checkpoint import Checkpointer
+
+    cfg_ema = _cfg(0.9)
+    model, tx, state, batch = _setup(cfg_ema)
+    step = make_train_step(model, cfg_ema, tx, donate=False)
+    for _ in range(2):
+        state, _ = step(state, batch)
+
+    cfg_off = _cfg(0.0)
+    _, _, plain, _ = _setup(cfg_off)
+    assert plain.ema_params is None
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ck = Checkpointer(tmp, "mismatch", async_save=False)
+        # EMA ckpt -> plain target: params restored, EMA dropped
+        ck.save(state, "with_ema")
+        ck.wait()
+        restored = ck.restore(plain, "with_ema")
+        assert restored.ema_params is None
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            restored.params, state.params,
+        )
+
+        # plain ckpt -> EMA target: EMA seeded from the restored params
+        ck.save(plain, "plain")
+        ck.wait()
+        fresh_ema = _setup(cfg_ema)[2]
+        restored2 = ck.restore(fresh_ema, "plain")
+        assert restored2.ema_params is not None
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            restored2.ema_params, restored2.params,
+        )
+
+
 def test_ema_multi_step_scan_matches_single_steps():
     """The scanned multi-step path carries the EMA identically."""
     from vae_mdl_tpu.train.steps import make_multi_train_step

@@ -52,7 +52,13 @@ def resolve_use_pallas(use_pallas: Optional[bool], likelihood: str) -> bool:
     than XLA fusion in both train and eval, docs/design.md §7). The DL kernel
     loses to XLA fusion on this workload and stays opt-in; CPU runs always
     take the jnp path (interpret-mode kernels are a test vehicle, not a
-    performance one)."""
+    performance one).
+
+    Limitation: the decision keys off the PROCESS default backend at trace
+    time. Pinning a computation to a non-default device on a TPU host (e.g.
+    ``jax.default_device(jax.devices('cpu')[0])``) still selects the
+    Mosaic-compiled kernel, which cannot lower for CPU — pass
+    ``use_pallas=False`` explicitly for such placements."""
     if use_pallas is None:
         return likelihood == "mdl" and jax.default_backend() == "tpu"
     return use_pallas

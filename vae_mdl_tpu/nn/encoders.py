@@ -89,7 +89,8 @@ class PolyphaseConvTranspose(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         k, s, f = self.kernel, self.stride, self.features
-        assert k == 2 * s, "polyphase path requires kernel == 2 * stride"
+        # the phase/tap map below is written for s=2 specifically
+        assert (k, s) == (4, 2), "polyphase path requires kernel 4, stride 2"
         c_in = x.shape[-1]
         kernel = self.param(
             "kernel", _KERNEL_INIT, (k, k, c_in, f), jnp.float32
@@ -134,7 +135,7 @@ def apply_conv_stack(
     if polyphase is None:
         polyphase = use_polyphase_deconv()
     for i, s in enumerate(specs):
-        if s.transpose and polyphase and s.kernel == 2 * s.stride:
+        if s.transpose and polyphase and (s.kernel, s.stride) == (4, 2):
             x = PolyphaseConvTranspose(
                 s.features, s.kernel, s.stride, dtype,
                 name=f"{prefix}_{i}",

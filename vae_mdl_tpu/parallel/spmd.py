@@ -36,7 +36,7 @@ from jax import shard_map
 from vae_mdl_tpu.config import ExperimentConfig
 from vae_mdl_tpu.models.objective import compute_loss
 from vae_mdl_tpu.models.vae import prior_for
-from vae_mdl_tpu.train.steps import preprocess
+from vae_mdl_tpu.train.steps import preprocess_train
 from vae_mdl_tpu.train.state import TrainState, ema_update
 
 
@@ -56,12 +56,12 @@ def make_shard_map_train_step(
     k = cfg.model.n_samples
 
     def per_device_step(state: TrainState, batch: jax.Array):
-        rngs = state.next_rngs("sample", "binarize")
-        # decorrelate per-device sampling/binarisation noise
+        rngs = state.next_rngs("sample", "binarize", "flip")
+        # decorrelate per-device sampling/binarisation/flip noise
         didx = jax.lax.axis_index("data")
         rngs = {name: jax.random.fold_in(key, didx)
                 for name, key in rngs.items()}
-        x = preprocess(cfg, batch, rngs["binarize"])
+        x = preprocess_train(cfg, batch, rngs)
 
         def loss_fn(params):
             Qs, Ps, pxz = model.apply(params, x, k,
@@ -171,11 +171,11 @@ def make_zero1_train_step(
         ndev *= mesh.shape[a]
 
     def per_device_step(state: TrainState, batch: jax.Array):
-        rngs = state.next_rngs("sample", "binarize")
+        rngs = state.next_rngs("sample", "binarize", "flip")
         didx = jax.lax.axis_index(axes)
         rngs = {name: jax.random.fold_in(key, didx)
                 for name, key in rngs.items()}
-        x = preprocess(cfg, batch, rngs["binarize"])
+        x = preprocess_train(cfg, batch, rngs)
 
         def loss_fn(params):
             Qs, Ps, pxz = model.apply(params, x, k,

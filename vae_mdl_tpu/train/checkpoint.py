@@ -46,8 +46,48 @@ class Checkpointer:
         self._ckptr.wait_until_finished()
 
     def restore(self, target: TrainState, tag: str = "latest") -> TrainState:
+        """Restore into ``target``'s structure, tolerating an EMA mismatch.
+
+        ``TrainState.ema_params`` changes the pytree structure, so a
+        checkpoint written with a different ``ema_decay`` setting than the
+        current config would hard-fail a strict restore. Reconcile instead:
+
+        - checkpoint HAS ema, target does not -> restore with an ema-shaped
+          target, then drop the EMA copy (eval/sample/resume without
+          ``--ema`` just uses the raw params);
+        - checkpoint LACKS ema, target has it -> restore the ema-less
+          state, then seed the EMA from the restored params (turning EMA on
+          mid-run starts the average at the current weights).
+        """
         self.wait()  # join any in-flight save of the same tag
-        return self._ckptr.restore(self._path(tag), target)
+        import jax
+        import jax.numpy as jnp
+
+        path = self._path(tag)
+        ckpt_has_ema = self._saved_with_ema(path)
+        if ckpt_has_ema and target.ema_params is None:
+            shaped = target.replace(
+                ema_params=jax.tree.map(jnp.copy, target.params)
+            )
+            restored = self._ckptr.restore(path, shaped)
+            return restored.replace(ema_params=None)
+        if not ckpt_has_ema and target.ema_params is not None:
+            restored = self._ckptr.restore(path, target.replace(ema_params=None))
+            return restored.replace(
+                ema_params=jax.tree.map(jnp.copy, restored.params)
+            )
+        return self._ckptr.restore(path, target)
+
+    def _saved_with_ema(self, path: str) -> bool:
+        """True iff the checkpoint at ``path`` carries an ema_params subtree
+        (its metadata entry is None when the state was saved without EMA)."""
+        try:
+            meta = self._ckptr.metadata(path)
+            tree = getattr(meta, "item_metadata", None) or meta
+            tree = getattr(tree, "tree", tree)
+            return tree.get("ema_params") is not None
+        except Exception:
+            return False
 
     def has(self, tag: str) -> bool:
         self.wait()

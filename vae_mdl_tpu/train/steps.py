@@ -37,6 +37,18 @@ def preprocess(cfg: ExperimentConfig, batch: jax.Array, key: jax.Array) -> jax.A
     return x
 
 
+def preprocess_train(cfg: ExperimentConfig, batch: jax.Array, rngs) -> jax.Array:
+    """Train-path preprocessing: dequantise/binarise + the train-only random
+    horizontal flip (celeba parity, reference utils/data.py:88). Shared by
+    the jit body AND the shard_map/ZeRO-1 bodies (parallel/spmd.py) so every
+    data-parallel path applies the same augmentation; eval/report never flip.
+    Expects rngs streams "binarize" and "flip"."""
+    x = preprocess(cfg, batch, rngs["binarize"])
+    if cfg.data.augment_flip:
+        x = random_flip(rngs["flip"], x)
+    return x
+
+
 def _train_step_body(model, cfg: ExperimentConfig,
                      tx: optax.GradientTransformation) -> Callable:
     prior = prior_for(cfg.model)
@@ -44,11 +56,7 @@ def _train_step_body(model, cfg: ExperimentConfig,
 
     def step(state: TrainState, batch: jax.Array):
         rngs = state.next_rngs("sample", "binarize", "flip")
-        x = preprocess(cfg, batch, rngs["binarize"])
-        if cfg.data.augment_flip:
-            # train-only augmentation (celeba parity, utils/data.py:88);
-            # eval/report paths never flip
-            x = random_flip(rngs["flip"], x)
+        x = preprocess_train(cfg, batch, rngs)
 
         def loss_fn(params):
             Qs, Ps, pxz = model.apply(
