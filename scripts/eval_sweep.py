@@ -33,17 +33,17 @@ def main():
     print(f"devices: {jax.devices()}")
 
     import itertools
-    for dtype, pallas in itertools.product(("float32", "bfloat16"), (False, True)):
+    for dtype, pallas in (("bfloat16", True),):
         cfg = dataclasses.replace(
             cfg0, model=dataclasses.replace(cfg0.model, compute_dtype=dtype,
                                             use_pallas=pallas)
         )
         model = build_model(cfg.model)
-        for bs in (250,):
+        for bs in (100, 250, 500):
             batch = jnp.asarray(
                 rng.integers(0, 256, (bs, 32, 32, 3), dtype=np.uint8)
             )
-            for k_chunk in (100,):
+            for k_chunk in (100, 250):
                 try:
                     ev = make_batch_evaluator(model, cfg, n_samples, k_chunk)
                     key = jax.random.PRNGKey(0)

@@ -298,3 +298,64 @@ def test_biladder_flops_accounting():
 
     assert forward_flops(MODELS["model05"], 1) == pytest.approx(
         analytic_model_flops(MODELS["model05"], 1))
+
+
+def test_sigterm_checkpoints_and_exits_cleanly():
+    """Graceful preemption: SIGTERM mid-fit finishes the in-flight step,
+    checkpoints the exact state and returns — auto-resume then continues
+    from the interrupted step with zero training-step loss."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    tmp = tempfile.mkdtemp()
+    code = f"""
+import dataclasses, sys
+import jax.numpy as jnp
+from vae_mdl_tpu.config import DataConfig, TrainConfig
+from vae_mdl_tpu.models.zoo import experiment
+from vae_mdl_tpu.train.trainer import Trainer
+
+cfg = experiment("model01")
+cfg = dataclasses.replace(
+    cfg,
+    data=DataConfig(dataset="synthetic:mnist", batch_size=8, val_batch_size=8),
+    train=TrainConfig(n_updates=1_000_000, eval_interval=500_000,
+                      report_images=False, checkpoint_dir={tmp + "/ckpt"!r},
+                      log_dir={tmp + "/tb"!r}),
+)
+tr = Trainer(cfg)
+print("READY", flush=True)
+state = tr.fit(progress=False)
+print("STOPPED_AT", int(state.step), flush=True)
+"""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen([sys.executable, "-u", "-c", code],
+                            stdout=subprocess.PIPE, text=True, env=env)
+    try:
+        assert proc.stdout.readline().strip() == "READY"
+        _time.sleep(8)  # let some steps run
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    stopped = [l for l in out.splitlines() if l.startswith("STOPPED_AT")]
+    assert stopped, out
+    step = int(stopped[0].split()[1])
+    assert 0 < step < 1_000_000
+
+    # the checkpoint is at the EXACT interrupted step and resume continues
+    cfg = _tiny_cfg(tmp, n_updates=1_000_000, eval_interval=500_000)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, batch_size=8,
+                                      val_batch_size=8))
+    tr2 = Trainer(cfg)  # auto-resume
+    assert int(tr2.state.step) == step

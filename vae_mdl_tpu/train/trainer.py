@@ -217,10 +217,32 @@ class Trainer:
             put = (lambda b: self._put(b, stacked=True)) if spc > 1 else self._put
             self._stream = device_prefetch(src, size=2, put=put)
 
+        # graceful preemption: SIGTERM finishes the in-flight step, then
+        # breaks out to the final checkpoint below — zero training-step loss
+        # on preemption instead of losing up to eval_interval steps (the
+        # reference loses everything since the last manual save,
+        # /root/reference/trainer.py:10-15)
+        import signal
+
+        stop_requested = {"flag": False}
+
+        def _on_sigterm(signum, frame):
+            stop_requested["flag"] = True
+
+        prev_handler = None
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            pass  # not in the main thread; periodic checkpoints still cover
+
         window_t0 = time.perf_counter()
         window_imgs = 0
         window_steps = 0
         for i in steps:
+            if stop_requested["flag"]:
+                print(f"[trainer] SIGTERM — checkpointing at step "
+                      f"{int(self.state.step)} and exiting")
+                break
             if i == profile_at:
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
@@ -291,6 +313,8 @@ class Trainer:
         jax.block_until_ready(self.state.params)
         self.ckpt.save(self.state, "latest")
         self.ckpt.wait()  # join in-flight async saves before returning
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         return self.state
 
     # ------------------------------------------------------------------ report
