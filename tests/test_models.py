@@ -123,3 +123,33 @@ def test_pmdl_likelihood_head():
     assert pxz.dist.log_prob(x).shape == (K, B, 32, 32)
     loss, metrics = compute_loss(prior_for(cfg), Qs, Ps, pxz, x)
     assert jnp.isfinite(loss)
+
+
+def test_bf16_body_keeps_f32_likelihood_head():
+    """compute_dtype='bfloat16' must NOT quantize the likelihood parameters:
+    the head layer (even when the zoo folds it into conv_layers) runs f32.
+    A bf16 head step near |mu|~1 is 2^-8 — a whole 1/255 DL bin width
+    (code-review finding; docs/design.md §3 contract)."""
+    import dataclasses
+
+    from vae_mdl_tpu.models.vae import build_model
+    from vae_mdl_tpu.models.zoo import experiment
+
+    for name in ("model03", "model05"):
+        cfg = dataclasses.replace(
+            experiment(name).model, compute_dtype="bfloat16")
+        model = build_model(cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (4, 32, 32, 3))
+        params = model.init(
+            {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)},
+            x, 1,
+        )
+        Qs, Ps, pxz = model.apply(params, x, 1,
+                                  rngs={"sample": jax.random.PRNGKey(3)})
+        raw = (pxz.dist.parameters if hasattr(pxz.dist, "parameters")
+               else pxz.dist.loc)
+        assert raw.dtype == jnp.float32
+        # values must be OFF the bf16 grid (a pure astype would pass the
+        # dtype check while carrying quantized values)
+        rt = raw.astype(jnp.bfloat16).astype(jnp.float32)
+        assert float(jnp.max(jnp.abs(raw - rt))) > 0, name

@@ -138,7 +138,7 @@ def _dump_assets(trainer, cfg, out_dir: str = "./assets") -> None:
     os.makedirs(out_dir, exist_ok=True)
     import jax.numpy as jnp
 
-    x_raw = jnp.asarray(next(trainer.val_iter))[:64]
+    x_raw = trainer._put(np.asarray(next(trainer.val_iter))[:64])
     if trainer._report_jit is None:
         trainer.report(int(trainer.state.step))  # builds the jit
     x, recon, samples = trainer._report_jit(trainer.state, x_raw)
@@ -151,8 +151,12 @@ def _dump_assets(trainer, cfg, out_dir: str = "./assets") -> None:
 
 def cmd_eval(args) -> None:
     from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.parallel.distributed import init_distributed
     from vae_mdl_tpu.train.trainer import Trainer
 
+    # multi-host: without this, every host would redundantly evaluate the
+    # full test set (process_count stays 1) against a local-only mesh
+    init_distributed()
     cfg = _apply_overrides(experiment(args.model), args)
     mesh = _make_mesh_or_none(args.mesh, cfg.mesh)
     trainer = Trainer(cfg, mesh=mesh)
@@ -184,9 +188,11 @@ def cmd_sample(args) -> None:
 
     from vae_mdl_tpu.models.inference import make_sampler
     from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.parallel.distributed import init_distributed
     from vae_mdl_tpu.train.trainer import Trainer
     from vae_mdl_tpu.utils.images import fill_canvas, save_png
 
+    init_distributed()
     cfg = _apply_overrides(experiment(args.model), args)
     trainer = Trainer(cfg, mesh=_make_mesh_or_none(args.mesh, cfg.mesh))
     if trainer.ckpt.has(args.ckpt):

@@ -70,10 +70,13 @@ class BiLadderConfig:
 
 
 class _GaussianHead(nn.Module):
-    """conv -> (mu, softplus std) over spatial latents."""
+    """conv -> (mu, softplus std) over spatial latents.
+
+    Always float32 by design: distribution parameters are likelihood math
+    (CLAUDE.md convention / docs/design.md §3) — deliberately NOT a dtype
+    knob, so a bf16 compute body can never quantize the heads."""
 
     channels: int
-    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, h: jax.Array) -> Normal:
@@ -103,7 +106,7 @@ class BiLadderVAE(nn.Module):
             for i, (h, lat, n, r) in enumerate(cfg.stages)
         )
         # top posterior head
-        self.top_head = _GaussianHead(cfg.stages[-1][1], dtype, name="q_top")
+        self.top_head = _GaussianHead(cfg.stages[-1][1], name="q_top")
         # per lower scale: upsampler from z_{i+1}, prior head, merge head
         ups, priors, merges = [], [], []
         for i in range(L - 1):
@@ -111,8 +114,8 @@ class BiLadderVAE(nn.Module):
             rate_above = cfg.stages[i + 1][3]
             ups.append(DecoderBlock(h_w, h_w, n_b, rate_above, cfg.rezero,
                                     dtype, name=f"up_{i}"))
-            priors.append(_GaussianHead(lat, dtype, name=f"p_{i}"))
-            merges.append(_GaussianHead(lat, dtype, name=f"q_{i}"))
+            priors.append(_GaussianHead(lat, name=f"p_{i}"))
+            merges.append(_GaussianHead(lat, name=f"q_{i}"))
         self.up_blocks = tuple(ups)
         self.prior_heads = tuple(priors)
         self.merge_heads = tuple(merges)

@@ -16,6 +16,8 @@ import jax
 from vae_mdl_tpu.distributions import DistributionTuple, Normal
 from vae_mdl_tpu.models.losses import (
     Metrics,
+    _bits_per_dim,
+    _reduce,
     hierarchical_iwae_loss,
     iwae_loss,
     two_layer_iwae_loss,
@@ -31,13 +33,9 @@ def log_weights(
     beta: float = 1.0,
 ) -> jax.Array:
     """Unnormalised importance log-weights ``[k, B]`` for any stochastic
-    depth — the quantity the 5000-IS evaluator streams over k-chunks
-    (the reference reduces it immediately, models/loss.py:28-37)."""
-    import jax.numpy as jnp
-
-    def _reduce(dist, value, axes):
-        return jnp.sum(dist.log_prob(value), axis=tuple(axes))
-
+    depth — the quantity the 5000-IS evaluator streams over k-chunks (the
+    reference reduces it immediately, models/loss.py:28-37). Bound terms go
+    through losses._reduce — ONE source of truth for train and eval."""
     top = Qs[-1]
     lw = _reduce(pxz.dist, x, pxz.axes)
     kl = _reduce(prior, top.z, prior.event_axes) - _reduce(top.dist, top.z, top.axes)
@@ -61,16 +59,11 @@ def compute_loss(
     if objective == "elbo":
         # plain ELBO at any depth: mean over importance samples instead of
         # logmeanexp (reference elbo_loss, models/loss.py:58-70, generalised)
-        import math
-
         import jax.numpy as jnp
 
         lw = log_weights(prior, Qs, Ps, pxz, x, beta=beta)
         elbo = jnp.mean(lw)
-        n_dims = 1.0
-        for s in x.shape[1:]:
-            n_dims *= s
-        bpd = -elbo / (math.log(2.0) * n_dims)
+        bpd = _bits_per_dim(elbo, x)
         return -elbo, {"elbo": elbo, "bpd": bpd, "loss": -elbo}
     L = len(Qs)
     if L == 1:

@@ -178,10 +178,21 @@ class ConvDecoder(nn.Module):
             merged = GLU(self.glu_features, self.glu_activation, self.dtype,
                          name=f"glu_{i}")(merged)
 
-        out = apply_conv_stack(self.conv_specs, merged, self.dtype)
-
         n_head = head_channels(self.likelihood, self.out_shape[-1], self.n_mix)
-        if out.shape[-1] != n_head:
+        specs = self.conv_specs
+        if specs and specs[-1].features == n_head:
+            # the zoo folds the likelihood head into the conv stack (e.g.
+            # MODEL03's trailing conv(6,...), model04's deconv(6,...)) — run
+            # the body at compute_dtype but the HEAD layer in float32: the
+            # likelihood parameters must be f32 (module contract above; a
+            # bf16 head step near |mu|~1 is a whole 1/255 bin width)
+            out = apply_conv_stack(specs[:-1], merged, self.dtype)
+            from vae_mdl_tpu.nn.encoders import apply_conv_spec
+
+            out = apply_conv_spec(specs[-1], out.astype(jnp.float32),
+                                  jnp.float32, f"conv_{len(specs) - 1}")
+        else:
+            out = apply_conv_stack(specs, merged, self.dtype)
             out = nn.Conv(n_head, (3, 3), padding="SAME", dtype=jnp.float32,
                           kernel_init=_KERNEL_INIT, name="head")(
                 out.astype(jnp.float32))

@@ -128,30 +128,38 @@ class PolyphaseConvTranspose(nn.Module):
         return out.reshape(lead + out.shape[1:])
 
 
+def apply_conv_spec(
+    s: ConvSpec, x: jax.Array, dtype, name: str,
+    polyphase: bool | None = None,
+) -> jax.Array:
+    """One ConvSpec layer (conv / transposed conv / opt-in polyphase) +
+    its activation, at the given compute dtype."""
+    if polyphase is None:
+        polyphase = use_polyphase_deconv()
+    if s.transpose and polyphase and (s.kernel, s.stride) == (4, 2):
+        x = PolyphaseConvTranspose(
+            s.features, s.kernel, s.stride, dtype, name=name,
+        )(x)
+    else:
+        cls = nn.ConvTranspose if s.transpose else nn.Conv
+        x = cls(
+            s.features,
+            (s.kernel, s.kernel),
+            strides=(s.stride, s.stride),
+            padding="SAME",
+            dtype=dtype,
+            kernel_init=_KERNEL_INIT,
+            name=name,
+        )(x)
+    return _activation(s.activation)(x)
+
+
 def apply_conv_stack(
     specs: Tuple[ConvSpec, ...], x: jax.Array, dtype, prefix: str = "conv",
     polyphase: bool | None = None,
 ) -> jax.Array:
-    if polyphase is None:
-        polyphase = use_polyphase_deconv()
     for i, s in enumerate(specs):
-        if s.transpose and polyphase and (s.kernel, s.stride) == (4, 2):
-            x = PolyphaseConvTranspose(
-                s.features, s.kernel, s.stride, dtype,
-                name=f"{prefix}_{i}",
-            )(x)
-        else:
-            cls = nn.ConvTranspose if s.transpose else nn.Conv
-            x = cls(
-                s.features,
-                (s.kernel, s.kernel),
-                strides=(s.stride, s.stride),
-                padding="SAME",
-                dtype=dtype,
-                kernel_init=_KERNEL_INIT,
-                name=f"{prefix}_{i}",
-            )(x)
-        x = _activation(s.activation)(x)
+        x = apply_conv_spec(s, x, dtype, f"{prefix}_{i}", polyphase)
     return x
 
 

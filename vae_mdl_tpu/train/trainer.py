@@ -184,6 +184,16 @@ class Trainer:
         eval_interval = (
             eval_interval if eval_interval is not None else cfg.train.eval_interval
         )
+        # same validation as __init__ — an override that steps_per_call does
+        # not divide would silently never hit `i % eval_interval == 0`,
+        # disabling every periodic eval/checkpoint
+        if self.steps_per_call > 1 and (
+            eval_interval % self.steps_per_call
+            or n_updates % self.steps_per_call
+        ):
+            raise ValueError(
+                "steps_per_call must divide eval_interval and n_updates"
+            )
         # profile start/stop aligned to loop iteration values (stride = spc)
         profile_at = (
             int(self.state.step) + self.steps_per_call if profile_dir else -1
@@ -323,7 +333,10 @@ class Trainer:
         """Log the three image grids: inputs, reconstructions (posterior
         mean), prior samples (models/model01.py:206-261)."""
         n = n_grid * n_grid
-        x_raw = jnp.asarray(next(self.val_iter))[:n]
+        # through _put: in multi-process runs a host-local array is NOT a
+        # valid replicated jit input (each process would feed different
+        # data as the 'same' value); _put assembles the global batch
+        x_raw = self._put(np.asarray(next(self.val_iter))[:n])
 
         if self._report_jit is None:
             cfg = self.cfg
