@@ -32,7 +32,8 @@ from vae_mdl_tpu.utils.flops import V5E_PEAK_FLOPS, train_step_flops
 
 def _train_throughput(name: str, spc: int = 10, n_iters: int = 5,
                       compute_dtype: str = "float32"):
-    """-> (imgs_per_sec, flops_per_step) for a model's scanned train step."""
+    """-> (imgs_per_sec, flops_per_step, batch_size) for a model's scanned
+    train step."""
     from vae_mdl_tpu.config import DataConfig
     from vae_mdl_tpu.models.vae import build_model
     from vae_mdl_tpu.models.zoo import experiment
@@ -125,13 +126,11 @@ def main():
     tflops = imgs05 * flops_per_img / 1e12
     mfu = tflops * 1e12 / V5E_PEAK_FLOPS
 
-    import dataclasses as _dc
+    from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.utils.flops import forward_flops
 
-    from vae_mdl_tpu.models.zoo import experiment as _exp
-    from vae_mdl_tpu.utils.flops import analytic_model_flops
-
-    eval_cfg = _dc.replace(_exp("model05").model, n_samples=5000)
-    eval_flops_img = analytic_model_flops(eval_cfg, batch=1)
+    eval_flops_img = forward_flops(experiment("model05").model, batch=1,
+                                   n_samples=5000)
     eval_mfu = eval05 * eval_flops_img / V5E_PEAK_FLOPS
 
     # 64x64 CelebA-scale bidirectional ladder (capability beyond the

@@ -37,7 +37,7 @@ from vae_mdl_tpu.distributions import (
     PixelMixtureDiscretizedLogistic,
 )
 from vae_mdl_tpu.nn.blocks import _KERNEL_INIT, _activation, merge_leading
-from vae_mdl_tpu.nn.encoders import ConvSpec, apply_conv_stack
+from vae_mdl_tpu.nn.encoders import ConvSpec, apply_conv_spec, apply_conv_stack
 
 Dtype = Any
 
@@ -187,8 +187,6 @@ class ConvDecoder(nn.Module):
             # likelihood parameters must be f32 (module contract above; a
             # bf16 head step near |mu|~1 is a whole 1/255 bin width)
             out = apply_conv_stack(specs[:-1], merged, self.dtype)
-            from vae_mdl_tpu.nn.encoders import apply_conv_spec
-
             out = apply_conv_spec(specs[-1], out.astype(jnp.float32),
                                   jnp.float32, f"conv_{len(specs) - 1}")
         else:

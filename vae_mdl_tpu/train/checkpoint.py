@@ -18,6 +18,8 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from vae_mdl_tpu.train.state import TrainState
@@ -60,9 +62,6 @@ class Checkpointer:
           mid-run starts the average at the current weights).
         """
         self.wait()  # join any in-flight save of the same tag
-        import jax
-        import jax.numpy as jnp
-
         path = self._path(tag)
         ckpt_has_ema = self._saved_with_ema(path)
         if ckpt_has_ema and target.ema_params is None:
