@@ -48,11 +48,11 @@ def _train_throughput(name: str, spc: int = 10, n_iters: int = 5,
         ds = "synthetic:celeba"
     else:
         ds = "synthetic:svhn_cropped"
-    cfg = dataclasses.replace(
-        cfg,
-        data=DataConfig(dataset=ds),
-        model=dataclasses.replace(cfg.model, compute_dtype=compute_dtype),
-    )
+    model_cfg = cfg.model
+    if compute_dtype is not None:
+        model_cfg = dataclasses.replace(model_cfg, compute_dtype=compute_dtype)
+    cfg = dataclasses.replace(cfg, data=DataConfig(dataset=ds),
+                              model=model_cfg)
     batch_size = cfg.data.batch_size  # 128, reference parity
     model = build_model(cfg.model)
     tx = make_optimizer(cfg.train)
@@ -134,9 +134,11 @@ def main():
     eval_mfu = eval05 * eval_flops_img / V5E_PEAK_FLOPS
 
     # 64x64 CelebA-scale bidirectional ladder (capability beyond the
-    # reference's 32x32 families) — train throughput + its own MFU
+    # reference's 32x32 families) — train throughput + its own MFU, at the
+    # config's default dtype (bf16 body, f32 heads)
     imgs_bl, flops_bl, batch_bl = _train_throughput("biladder_celeba", spc=5,
-                                                    n_iters=3)
+                                                    n_iters=3,
+                                                    compute_dtype=None)
     bl_mfu = imgs_bl * (flops_bl / batch_bl) / V5E_PEAK_FLOPS
 
     print(

@@ -202,11 +202,15 @@ BILADDER_SVHN = BiLadderConfig(
 )
 
 # 64x64 CelebA-scale ladder (the reference ships the celeba data path but no
-# model for it, utils/data.py:65-105) — four spatial scales down to 4x4
+# model for it, utils/data.py:65-105) — four spatial scales down to 4x4.
+# bf16 conv bodies by default: measured +50% (914 -> 1368 imgs/s on v5e-1,
+# docs/design.md §12) — the ladder's resizes/concats are bandwidth-bound and
+# every likelihood/posterior head is f32 by construction (_GaussianHead).
 BILADDER_CELEBA = BiLadderConfig(
     name="biladder_celeba",
     image_shape=(64, 64, 3),
     stem_features=48,
     stages=((64, 32, 2, 2), (64, 24, 2, 2), (64, 16, 1, 2), (64, 8, 1, 2)),
     likelihood="dl",
+    compute_dtype="bfloat16",
 )
