@@ -64,20 +64,13 @@ def _w3_phases(w):
     """3x3 kernel with static zeros: phase r taps [W[0],W[2],0] (r=0) or
     [0,W[1],W[3]] (r=1) over the SAME window (x[i-1], x[i], x[i+1])."""
     k, _, c_in, f = w.shape
-    z = jnp.zeros((c_in, f), w.dtype)
-    rows = {0: (w[0], w[2], z), 1: (z, w[1], w[3])}
-    # build [3, 3, C, r, c, F]
+    # phase r: window pos 0 -> W[0] (r=0 only); pos 1 -> W[2] (r=0) / W[1]
+    # (r=1); pos 2 -> W[3] (r=1 only); same map in columns
+    a_of = {0: {0: 0, 1: 2}, 1: {1: 1, 2: 3}}
     cols = []
     for r in (0, 1):
         for c in (0, 1):
-            taps_r = rows[r]
-            taps_c_idx = {0: (0, 2, None), 1: (None, 1, 3)}[c]
-            # 2-D separable tap selection: W[a, b] for a in row-taps of r,
-            # b in col-taps of c
             m = jnp.zeros((3, 3, c_in, f), w.dtype)
-            a_map = {0: (0, 0), 1: (1, 2)}  # phase -> (di->a) base? see below
-            # phase r: window pos 0 -> W[0] if r==0 else 0 ; pos1 -> W[2 if r==0 else 1]; pos2 -> 0 if r==0 else W[3]
-            a_of = {0: {0: 0, 1: 2}, 1: {1: 1, 2: 3}}
             for pi, ai in a_of[r].items():
                 for pj, aj in a_of[c].items():
                     m = m.at[pi, pj].set(w[ai, aj])
