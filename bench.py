@@ -83,6 +83,42 @@ def _train_throughput(name: str, spc: int = 10, n_iters: int = 5,
     return n_iters * spc * batch_size / dt, flops_step, batch_size
 
 
+def _resident_throughput(name: str = "model05", spc: int = 20,
+                         n_iters: int = 5, n_data: int = 10000):
+    """Device-resident sustained throughput: the whole (synthetic) train
+    split lives in HBM and each scanned step gathers its batch by on-device
+    random indices — zero steady-state host->device traffic. This isolates
+    compute from the dispatch/transfer path (which on tunnelled hosts can
+    dominate, docs/design.md §11)."""
+    from vae_mdl_tpu.config import DataConfig
+    from vae_mdl_tpu.models.vae import build_model
+    from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.train.state import create_train_state, make_optimizer
+    from vae_mdl_tpu.train.steps import make_device_data_train_step
+
+    cfg = experiment(name)
+    shape = cfg.model.image_shape
+    cfg = dataclasses.replace(cfg, data=DataConfig(dataset="synthetic:svhn_cropped"))
+    batch_size = cfg.data.batch_size
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x_f32 = jnp.zeros((batch_size,) + shape, jnp.float32)
+    state = create_train_state(model, cfg.train, x_f32, cfg.model.n_samples)
+    step = make_device_data_train_step(model, cfg, tx, n_steps=spc,
+                                       n_data=n_data, donate=False)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.integers(0, 256, (n_data,) + shape, dtype=np.uint8))
+
+    for _ in range(2):
+        state, metrics = step(state, data)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, data)
+    jax.block_until_ready(metrics["loss"])
+    return n_iters * spc * batch_size / (time.perf_counter() - t0)
+
+
 def _eval_throughput(batch_size: int = 100, k_chunk: int = 100,
                      n_samples: int = 5000) -> float:
     """model05 5000-IS eval imgs/sec: bf16 conv body + Pallas MoDL kernel."""
@@ -120,6 +156,7 @@ def main():
     imgs05, flops_step, batch = _train_throughput("model05")
     imgs05_bf16, _, _ = _train_throughput("model05", compute_dtype="bfloat16")
     imgs01, _, _ = _train_throughput("model01")
+    imgs05_res = _resident_throughput("model05")
     eval05 = _eval_throughput()
 
     flops_per_img = flops_step / batch
@@ -147,13 +184,20 @@ def main():
                 "metric": "model05_train_throughput",
                 "value": round(imgs05, 1),
                 "unit": "imgs/sec",
+                # the reference publishes NO throughput numbers (SURVEY.md
+                # §6); MFU against the v5e bf16 peak is the defensible
+                # denominator, so vs_baseline IS the mfu key
                 "vs_baseline": round(mfu, 4),
+                "vs_baseline_is": "mfu",
                 "flops_per_img": round(flops_per_img / 1e6, 2),
                 "flops_per_img_unit": "MFLOP",
                 "tflops_sustained": round(tflops, 2),
                 "mfu": round(mfu, 4),
                 "peak_tflops": V5E_PEAK_FLOPS / 1e12,
                 "model05_bf16_imgs_per_sec": round(imgs05_bf16, 1),
+                "model05_resident_imgs_per_sec": round(imgs05_res, 1),
+                "model05_resident_mfu": round(
+                    imgs05_res * flops_per_img / V5E_PEAK_FLOPS, 4),
                 "model01_imgs_per_sec": round(imgs01, 1),
                 "model05_eval5000_imgs_per_sec": round(eval05, 1),
                 "eval_mfu": round(eval_mfu, 4),

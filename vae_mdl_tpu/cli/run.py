@@ -163,6 +163,7 @@ def cmd_eval(args) -> None:
     if trainer.ckpt.has(args.ckpt):
         trainer.state = trainer.ckpt.restore(trainer.state, args.ckpt)
         print(f"[eval] loaded '{args.ckpt}' at step {int(trainer.state.step)}")
+        _warn_dropped_ema(trainer, cfg, args.ckpt, "eval")
     else:
         print(f"[eval] WARNING: no '{args.ckpt}' checkpoint; evaluating init")
 
@@ -177,6 +178,17 @@ def cmd_eval(args) -> None:
     )
     print(f"[eval] {n_samples}-IS test LLH: {mean_llh:.2f} nats, "
           f"bpd: {metrics['bpd']:.4f}")
+
+
+def _warn_dropped_ema(trainer, cfg, tag: str, what: str) -> None:
+    """Checkpoints trained with --ema carry an EMA weight copy; restoring
+    them with ema_decay=0 silently drops it and uses RAW params — which can
+    score worse than the training-time 'best' metric (computed on EMA
+    weights). Make the mismatch visible."""
+    if cfg.train.ema_decay == 0 and trainer.ckpt.saved_with_ema(tag):
+        print(f"[{what}] NOTE: checkpoint '{tag}' carries EMA weights but "
+              f"--ema was not given; using RAW params. Pass --ema <decay> "
+              f"(e.g. the training value) to {what} the EMA copy.")
 
 
 def cmd_sample(args) -> None:
@@ -197,6 +209,7 @@ def cmd_sample(args) -> None:
     trainer = Trainer(cfg, mesh=_make_mesh_or_none(args.mesh, cfg.mesh))
     if trainer.ckpt.has(args.ckpt):
         trainer.state = trainer.ckpt.restore(trainer.state, args.ckpt)
+        _warn_dropped_ema(trainer, cfg, args.ckpt, "sample")
     sampler = make_sampler(trainer.model, cfg.model)
     from vae_mdl_tpu.train.state import eval_params
 

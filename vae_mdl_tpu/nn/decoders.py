@@ -47,21 +47,36 @@ Obs = Union[Bernoulli, Normal, DiscretizedLogistic,
 _IMAGE_AXES = (-1, -2, -3)
 
 
-def resolve_use_pallas(use_pallas: Optional[bool], likelihood: str) -> bool:
+def resolve_use_pallas(use_pallas: Optional[bool], likelihood: str,
+                       operand: Optional[jax.Array] = None) -> bool:
     """``None`` = auto: the fused MoDL kernel on TPU only (measured faster
     than XLA fusion in both train and eval, docs/design.md §7). The DL kernel
     loses to XLA fusion on this workload and stays opt-in; CPU runs always
     take the jnp path (interpret-mode kernels are a test vehicle, not a
     performance one).
 
-    Limitation: the decision keys off the PROCESS default backend at trace
-    time. Pinning a computation to a non-default device on a TPU host (e.g.
-    ``jax.default_device(jax.devices('cpu')[0])``) still selects the
-    Mosaic-compiled kernel, which cannot lower for CPU — pass
-    ``use_pallas=False`` explicitly for such placements."""
-    if use_pallas is None:
-        return likelihood == "mdl" and jax.default_backend() == "tpu"
-    return use_pallas
+    The auto decision resolves the placement in priority order: the actual
+    device of ``operand`` when it is a committed concrete array (eager
+    calls), then an active ``jax.default_device(...)`` context, then the
+    process default backend. This keeps CPU-pinned computations on a TPU
+    host from selecting the Mosaic-compiled kernel (which cannot lower for
+    CPU). A jit trace explicitly placed by *argument* devices alone (no
+    ``default_device`` context) is still resolved from the process default —
+    pass ``use_pallas=False`` for that exotic placement."""
+    if use_pallas is not None:
+        return use_pallas
+    if likelihood != "mdl":
+        return False
+    if (
+        operand is not None
+        and isinstance(operand, jax.Array)
+        and not isinstance(operand, jax.core.Tracer)
+    ):
+        return next(iter(operand.devices())).platform == "tpu"
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", dev) == "tpu"
+    return jax.default_backend() == "tpu"
 
 
 def make_observation(
@@ -69,7 +84,7 @@ def make_observation(
     use_pallas: Optional[bool] = None,
 ) -> Obs:
     """Turn raw head output into the configured observation distribution."""
-    use_pallas = resolve_use_pallas(use_pallas, likelihood)
+    use_pallas = resolve_use_pallas(use_pallas, likelihood, operand=out)
     out = out.astype(jnp.float32)
     if likelihood == "bernoulli":
         return Bernoulli(out, event_axes=_IMAGE_AXES)

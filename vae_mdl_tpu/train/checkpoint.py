@@ -79,14 +79,48 @@ class Checkpointer:
 
     def _saved_with_ema(self, path: str) -> bool:
         """True iff the checkpoint at ``path`` carries an ema_params subtree
-        (its metadata entry is None when the state was saved without EMA)."""
+        (its metadata entry is None when the state was saved without EMA).
+
+        Falls back to inspecting the on-disk layout when the Orbax metadata
+        API shape changes, and warns — a silent False here would surface
+        later as an opaque pytree-structure mismatch on restore.
+        """
         try:
             meta = self._ckptr.metadata(path)
             tree = getattr(meta, "item_metadata", None) or meta
             tree = getattr(tree, "tree", tree)
             return tree.get("ema_params") is not None
-        except Exception:
-            return False
+        except (AttributeError, TypeError, KeyError, ValueError) as e:
+            # on-disk probe: the checkpoint's _METADATA json lists every tree
+            # leaf; a no-EMA save has exactly one ('ema_params',) entry with
+            # value_type "None", an EMA save has ('ema_params', 'params', ...)
+            # array entries
+            import json
+            import warnings
+
+            has_ema = False
+            try:
+                with open(os.path.join(path, "_METADATA")) as f:
+                    tree = json.load(f).get("tree_metadata", {})
+                has_ema = any(
+                    key.startswith("('ema_params'")
+                    and (entry.get("value_metadata") or {}).get("value_type")
+                    != "None"
+                    for key, entry in tree.items()
+                )
+            except (OSError, json.JSONDecodeError):
+                pass  # no _METADATA either: treat as no-EMA
+            warnings.warn(
+                f"orbax metadata inspection failed ({type(e).__name__}: {e}); "
+                f"fell back to the on-disk _METADATA probe for ema_params "
+                f"(found={has_ema})"
+            )
+            return has_ema
+
+    def saved_with_ema(self, tag: str = "latest") -> bool:
+        """Public probe: does the checkpoint at ``tag`` carry an EMA copy?"""
+        self.wait()
+        return self._saved_with_ema(self._path(tag))
 
     def has(self, tag: str) -> bool:
         self.wait()

@@ -103,9 +103,11 @@ def init_output_bias(state: TrainState, train_mean: jax.Array) -> TrainState:
 
     Parity: /root/reference/models/model01.py:294-301 — biasing the Bernoulli
     logits towards the canvas mean speeds up early training. ``train_mean``
-    is the per-pixel mean of (binarized) training images in [0, 1].
+    is the per-pixel mean of (binarized) training images in [0, 1]; the
+    clamp bounds are the reference's exact [0.001, 0.999]
+    (models/model01.py:298).
     """
-    p = jnp.clip(jnp.reshape(train_mean, (-1,)), 1e-4, 1.0 - 1e-4)
+    p = jnp.clip(jnp.reshape(train_mean, (-1,)), 0.001, 0.999)
     logits = jnp.log(p) - jnp.log1p(-p)
 
     params = state.params

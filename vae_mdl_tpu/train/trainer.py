@@ -198,8 +198,6 @@ class Trainer:
         profile_at = (
             int(self.state.step) + self.steps_per_call if profile_dir else -1
         )
-        profiling = False
-
         spc = self.steps_per_call
         start_step = int(self.state.step)
         steps = range(start_step, n_updates, spc)
@@ -245,6 +243,24 @@ class Trainer:
         except ValueError:
             pass  # not in the main thread; periodic checkpoints still cover
 
+        try:
+            self._fit_loop(
+                steps, eval_interval, pbar, profile_dir, profile_steps,
+                profile_at, stop_requested,
+            )
+        finally:
+            # restore the handler on EVERY exit path (normal, SIGTERM break,
+            # data error, OOM) — a stale handler would silently swallow all
+            # later SIGTERMs for the rest of the process
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+        return self.state
+
+    def _fit_loop(self, steps, eval_interval, pbar, profile_dir,
+                  profile_steps, profile_at, stop_requested):
+        cfg = self.cfg
+        spc = self.steps_per_call
+        profiling = False
         window_t0 = time.perf_counter()
         window_imgs = 0
         window_steps = 0
@@ -323,9 +339,6 @@ class Trainer:
         jax.block_until_ready(self.state.params)
         self.ckpt.save(self.state, "latest")
         self.ckpt.wait()  # join in-flight async saves before returning
-        if prev_handler is not None:
-            signal.signal(signal.SIGTERM, prev_handler)
-        return self.state
 
     # ------------------------------------------------------------------ report
 
