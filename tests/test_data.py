@@ -1,6 +1,7 @@
 """Data layer tests: splits, batching, sharding, TFRecord parsing,
 on-device preprocessing."""
 import io
+import pytest
 import struct
 
 import jax
@@ -157,3 +158,20 @@ def test_synthetic_is_deterministic():
     a = load_synthetic((8, 8, 1), n_train=16, n_test=4, seed=3)
     b = load_synthetic((8, 8, 1), n_train=16, n_test=4, seed=3)
     assert np.array_equal(a["train"][0], b["train"][0])
+
+
+def test_digits_has_disjoint_val_and_test():
+    """Best-checkpoint selection must never see the final test images
+    (VERDICT r2 weak #3): digits carries its own three-way split and
+    make_splits routes it, unlike the mnist-family's val==test parity."""
+    pytest.importorskip("sklearn")
+    from vae_mdl_tpu.data.pipeline import make_splits
+    from vae_mdl_tpu.data.sources import load_digits
+
+    raw = load_digits()
+    assert len(raw["train"][0]) + len(raw["val"][0]) + len(raw["test"][0]) == 1797
+    splits = make_splits("digits")
+    assert len(splits.val[0]) == 197 and len(splits.test[0]) == 200
+    # disjoint: no val image appears in test (byte-identical compare)
+    val_bytes = {im.tobytes() for im in splits.val[0]}
+    assert not any(im.tobytes() in val_bytes for im in splits.test[0])

@@ -54,6 +54,10 @@ class DecoderConfig:
     glu_features: int = 64
     glu_activation: str = "relu"
     fc_activation: str = "relu"
+    # emit >= this many likelihood-head channels and slice to the real count
+    # (lane-alignment experiment: the MoDL head's n_mix*10 = 50 is
+    # tile-hostile on 128-lane hardware; 0 = exact head)
+    head_pad: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -64,6 +64,8 @@ def make_splits(
         # real shards have a "validation" split; the synthetic fallback
         # provides only "test"
         val = test = raw.get("validation", raw.get("test"))
+    elif "val" in raw:  # digits: honest disjoint val/test slices
+        val, test = raw["val"], raw["test"]
     else:  # mnist, synthetic: val == test (model01.py uses the 10k test set)
         val = test = raw["test"]
     return DataSplits(train=train, val=val, test=test)

@@ -177,10 +177,15 @@ def load_digits() -> Dict[str, Arrays]:
     imgs = (d.images / 16.0 * 255.0).astype(np.uint8)[..., None]
     imgs = np.repeat(np.repeat(imgs, 2, axis=1), 2, axis=2)  # 8x8 -> 16x16
     labels = d.target.astype(np.int32)
-    n_train = 1500
+    # three DISJOINT slices: "best"-checkpoint selection runs on val, so the
+    # final test images are never seen before the last evaluation (the
+    # mnist-family's val==test policy is reference parity, but digits is
+    # this repo's own protocol and gets the honest split)
+    n_train, n_val = 1400, 197
     return {
         "train": (imgs[:n_train], labels[:n_train]),
-        "test": (imgs[n_train:], labels[n_train:]),
+        "val": (imgs[n_train:n_train + n_val], labels[n_train:n_train + n_val]),
+        "test": (imgs[n_train + n_val:], labels[n_train + n_val:]),
     }
 
 

@@ -99,6 +99,7 @@ class VAE(nn.Module):
                 n_mix=cfg.n_mix,
                 bound_logstd=cfg.bound_logstd,
                 use_pallas=cfg.use_pallas,
+                head_pad=cfg.decoder.head_pad,
                 dtype=dtype,
             )
 

@@ -171,6 +171,7 @@ class ConvDecoder(nn.Module):
     n_mix: int = 5
     bound_logstd: bool = False
     use_pallas: Optional[bool] = None
+    head_pad: int = 0  # emit >= this many head channels, slice to n_head
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -194,6 +195,11 @@ class ConvDecoder(nn.Module):
                          name=f"glu_{i}")(merged)
 
         n_head = head_channels(self.likelihood, self.out_shape[-1], self.n_mix)
+        # lane-alignment experiment hook (VERDICT r2 weak #1): emit a padded
+        # head (e.g. 64 instead of the MoDL's tile-hostile n_mix*10 = 50)
+        # and slice back — the extra channels receive no gradient signal and
+        # the conv gets an aligned output tile
+        n_emit = max(n_head, self.head_pad)
         specs = self.conv_specs
         if specs and specs[-1].features == n_head:
             # the zoo folds the likelihood head into the conv stack (e.g.
@@ -202,13 +208,17 @@ class ConvDecoder(nn.Module):
             # likelihood parameters must be f32 (module contract above; a
             # bf16 head step near |mu|~1 is a whole 1/255 bin width)
             out = apply_conv_stack(specs[:-1], merged, self.dtype)
-            out = apply_conv_spec(specs[-1], out.astype(jnp.float32),
+            head_spec = (specs[-1] if n_emit == n_head else
+                         specs[-1].replace(features=n_emit))
+            out = apply_conv_spec(head_spec, out.astype(jnp.float32),
                                   jnp.float32, f"conv_{len(specs) - 1}")
         else:
             out = apply_conv_stack(specs, merged, self.dtype)
-            out = nn.Conv(n_head, (3, 3), padding="SAME", dtype=jnp.float32,
+            out = nn.Conv(n_emit, (3, 3), padding="SAME", dtype=jnp.float32,
                           kernel_init=_KERNEL_INIT, name="head")(
                 out.astype(jnp.float32))
+        if n_emit != n_head:
+            out = out[..., :n_head]
         out = unmerge(out)
         return make_observation(out, self.likelihood, self.bound_logstd,
                                 self.use_pallas)
