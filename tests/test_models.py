@@ -153,3 +153,36 @@ def test_bf16_body_keeps_f32_likelihood_head():
         # dtype check while carrying quantized values)
         rt = raw.astype(jnp.bfloat16).astype(jnp.float32)
         assert float(jnp.max(jnp.abs(raw - rt))) > 0, name
+
+
+def test_head_pad_keeps_observation_contract():
+    """head_pad emits an aligned head channel count and slices back: the
+    observation still carries exactly n_mix*10 parameters, the loss is
+    finite, and the padded head kernel has the padded width (lane-alignment
+    experiment hook, docs/design.md §12b — measured SLOWER, kept opt-in)."""
+    import dataclasses
+
+    from vae_mdl_tpu.models.objective import compute_loss
+    from vae_mdl_tpu.models.vae import build_model, prior_for
+    from vae_mdl_tpu.models.zoo import MODELS
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    cfg = dataclasses.replace(
+        MODELS["model05"],
+        decoder=dataclasses.replace(MODELS["model05"].decoder, head_pad=64),
+    )
+    model = build_model(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)}, x, 1
+    )
+    Qs, Ps, pxz = model.apply(params, x, 3, rngs={"sample": jax.random.PRNGKey(3)})
+    assert pxz.dist.parameters.shape[-1] == 50
+
+    kernels = [
+        (jax.tree_util.keystr(p), leaf.shape)
+        for p, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+    ]
+    assert any("conv_3" in name and shape[-1] == 64 for name, shape in kernels), kernels
+
+    loss, _ = compute_loss(prior_for(cfg), Qs, Ps, pxz, x)
+    assert bool(jnp.isfinite(loss))
