@@ -5,6 +5,13 @@ from vae_mdl_tpu.parallel.mesh import (
     shard_batch,
     shard_state,
 )
+from vae_mdl_tpu.parallel.tensor import (
+    make_tp_mesh,
+    shard_batch_tp,
+    shard_state_tp,
+    tp_param_spec,
+    tp_state_sharding,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +19,9 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_state",
+    "make_tp_mesh",
+    "shard_batch_tp",
+    "shard_state_tp",
+    "tp_param_spec",
+    "tp_state_sharding",
 ]
