@@ -144,6 +144,9 @@ class MeshConfig:
 
     data: int = -1  # -1: all devices on the data axis
     sample: int = 1
+    # >1 adds a third "model" axis: wide kernels channel-sharded over it
+    # (Megatron-pattern tensor parallelism, parallel/tensor.py)
+    model: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

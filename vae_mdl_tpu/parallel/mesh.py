@@ -30,9 +30,14 @@ def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     sample = max(1, cfg.sample)
-    data = cfg.data if cfg.data > 0 else n // sample
-    if data * sample != n:
-        raise ValueError(f"mesh {data}x{sample} != {n} devices")
+    model = max(1, getattr(cfg, "model", 1))
+    data = cfg.data if cfg.data > 0 else n // (sample * model)
+    if data * sample * model != n:
+        raise ValueError(f"mesh {data}x{sample}x{model} != {n} devices")
+    if model > 1:
+        # third axis: hidden channels (tensor parallelism, parallel/tensor.py)
+        arr = np.asarray(devices).reshape(data, sample, model)
+        return Mesh(arr, axis_names=("data", "sample", "model"))
     arr = np.asarray(devices).reshape(data, sample)
     return Mesh(arr, axis_names=("data", "sample"))
 

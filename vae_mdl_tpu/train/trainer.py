@@ -97,9 +97,16 @@ class Trainer:
                 print(f"[trainer] resumed from step {int(self.state.step)}")
 
         if mesh is not None:
-            from vae_mdl_tpu.parallel.mesh import shard_state
+            if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+                # TP layout: wide kernels + their Adam moments channel-sharded
+                # over the "model" axis; the SAME jitted step partitions
+                from vae_mdl_tpu.parallel.tensor import shard_state_tp
 
-            self.state = shard_state(mesh, self.state)
+                self.state = shard_state_tp(self.state, mesh)
+            else:
+                from vae_mdl_tpu.parallel.mesh import shard_state
+
+                self.state = shard_state(mesh, self.state)
 
         spc = cfg.train.steps_per_call
         if spc > 1 and (cfg.train.eval_interval % spc or
