@@ -55,6 +55,8 @@ def _apply_overrides(cfg, args):
         data = dataclasses.replace(data, strict=True)
     if getattr(args, "ema", None) is not None:
         train = dataclasses.replace(train, ema_decay=args.ema)
+    if getattr(args, "bound_logstd", False):
+        model = dataclasses.replace(model, bound_logstd=True)
     return dataclasses.replace(cfg, model=model, data=data, train=train)
 
 
@@ -71,8 +73,11 @@ def _make_mesh_or_none(mesh_spec: Optional[str], mesh_cfg=None):
         return make_mesh(mesh_cfg or MeshConfig())
     if mesh_spec == "none":
         return None
-    data, _, sample = mesh_spec.partition("x")
-    return make_mesh(MeshConfig(data=int(data), sample=int(sample or 1)))
+    # "D", "DxS", or "DxSxM" (M>1 = channel tensor parallelism)
+    parts = [int(p) for p in mesh_spec.split("x")]
+    parts += [1] * (3 - len(parts))
+    data, sample, model = parts[:3]
+    return make_mesh(MeshConfig(data=data, sample=sample, model=model))
 
 
 def cmd_train(args) -> None:
@@ -92,6 +97,13 @@ def cmd_train(args) -> None:
     print(f"[train] finished at step {int(state.step)}, "
           f"best val loss {float(state.best_val_loss):.4f}")
 
+    # reload "best" BEFORE the asset grids, like the final eval — reference
+    # parity (models/model01.py:306-317: model.load("best") precedes
+    # _plot_samples). Dumping from the final state can even render NaN
+    # garbage when a run diverged after its best checkpoint (seen with
+    # model04's unbounded logstd, docs/protocols.md).
+    if trainer.ckpt.has("best"):
+        trainer.state = trainer.ckpt.restore(trainer.state, "best")
     _dump_assets(trainer, cfg)
     if not args.skip_final_eval:
         _final_eval(trainer, cfg,
@@ -251,7 +263,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--n-samples", type=int, default=None,
                         help="importance samples for the final eval "
                              "(default: cfg.train.n_eval_samples = 5000)")
-        sp.add_argument("--mesh", help="DxS mesh, e.g. 4x2; 'none' disables")
+        sp.add_argument("--mesh", help="DxS or DxSxM mesh (data x sample x "
+                        "model; M>1 = channel tensor parallelism), e.g. 4x2 "
+                        "or 2x2x2; 'none' disables")
         sp.add_argument("--bf16", action="store_true",
                         help="bfloat16 conv/matmul body")
         sp.add_argument("--pallas", action=argparse.BooleanOptionalAction,
@@ -268,6 +282,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="scan N updates per dispatched program")
         sp.add_argument("--device-dataset", action="store_true",
                         help="keep the whole train split in HBM (small sets)")
+        sp.add_argument("--bound-logstd", action="store_true",
+                        help="tanh-bound the DL head's logstd (the "
+                        "reference's commented-out stability remedy, "
+                        "model04.py:86-89)")
         sp.add_argument("--strict-data", action="store_true",
                         help="fail if dataset files are missing instead of "
                              "falling back to synthetic data (parity runs)")
