@@ -155,15 +155,27 @@ def _kernel(x_ref, p_ref, out_ref, *, n_mix):
     loc_b, ls_b, cf_b = pt[7 * n:8 * n], pt[8 * n:9 * n], pt[9 * n:10 * n]
 
     # raw-parameter transforms + channel autoregression on observed
-    # sub-pixels (utils/mdl.py:94-149)
-    loc_g = loc_g + jnp.tanh(cf_r) * xr
-    loc_b = loc_b + jnp.tanh(cf_g) * xr + jnp.tanh(cf_b) * xg
+    # sub-pixels (utils/mdl.py:94-149); the coeff tanh runs once on the
+    # stacked [3n, BP] block (2 full 8-sublane tiles instead of 3 padded
+    # [n, BP] ops at n=5)
+    cf = jnp.tanh(jnp.concatenate([cf_r, cf_g, cf_b], axis=0))
+    loc_g = loc_g + cf[0:n] * xr
+    loc_b = loc_b + cf[n:2 * n] * xr + cf[2 * n:3 * n] * xg
 
-    lp = (
-        _dl(xr, loc_r, jnp.maximum(ls_r, -7.0))
-        + _dl(xg, loc_g, jnp.maximum(ls_g, -7.0))
-        + _dl(xb, loc_b, jnp.maximum(ls_b, -7.0))
-    )  # [n, BP]
+    # ONE stacked discretized-logistic cascade over all (channel, mixture)
+    # combos: [3n, BP] keeps the VPU sublane tiles ~full (15/16 at n=5)
+    # where three separate [n, BP] passes pad each to 8 sublanes (15/24).
+    # Bit-identical elementwise math to the unstacked form.
+    x_all = jnp.concatenate([
+        jnp.broadcast_to(xr, (n,) + xr.shape[1:]),
+        jnp.broadcast_to(xg, (n,) + xg.shape[1:]),
+        jnp.broadcast_to(xb, (n,) + xb.shape[1:]),
+    ], axis=0)
+    loc_all = jnp.concatenate([loc_r, loc_g, loc_b], axis=0)
+    ls_all = jnp.maximum(
+        jnp.concatenate([ls_r, ls_g, ls_b], axis=0), -7.0)
+    lp_all = _dl(x_all, loc_all, ls_all)         # [3n, BP]
+    lp = lp_all[0:n] + lp_all[n:2 * n] + lp_all[2 * n:3 * n]  # [n, BP]
 
     log_softmax = logits - jax.scipy.special.logsumexp(logits, axis=0,
                                                        keepdims=True)
@@ -270,14 +282,24 @@ def _bwd_kernel(x_ref, p_ref, g_ref, dp_ref, *, n_mix):
     loc_g, ls_g_raw, cf_g_raw = pt[4 * n:5 * n], pt[5 * n:6 * n], pt[6 * n:7 * n]
     loc_b, ls_b_raw, cf_b_raw = pt[7 * n:8 * n], pt[8 * n:9 * n], pt[9 * n:10 * n]
 
-    cf_r, cf_g, cf_b = jnp.tanh(cf_r_raw), jnp.tanh(cf_g_raw), jnp.tanh(cf_b_raw)
-    ls_r = jnp.maximum(ls_r_raw, -7.0)
-    ls_g = jnp.maximum(ls_g_raw, -7.0)
-    ls_b = jnp.maximum(ls_b_raw, -7.0)
+    # stacked [3n, BP] blocks, same rationale as the forward kernel: full
+    # sublane tiles for the per-(channel, mixture) elementwise bulk
+    cf = jnp.tanh(jnp.concatenate([cf_r_raw, cf_g_raw, cf_b_raw], axis=0))
+    cf_r, cf_g, cf_b = cf[0:n], cf[n:2 * n], cf[2 * n:3 * n]
+    ls_raw = jnp.concatenate([ls_r_raw, ls_g_raw, ls_b_raw], axis=0)
+    ls_all = jnp.maximum(ls_raw, -7.0)
     lg = loc_g + cf_r * xr
     lb = loc_b + cf_g * xr + cf_b * xg
 
-    lp = _dl(xr, loc_r, ls_r) + _dl(xg, lg, ls_g) + _dl(xb, lb, ls_b)
+    x_all = jnp.concatenate([
+        jnp.broadcast_to(xr, (n,) + xr.shape[1:]),
+        jnp.broadcast_to(xg, (n,) + xg.shape[1:]),
+        jnp.broadcast_to(xb, (n,) + xb.shape[1:]),
+    ], axis=0)
+    loc_all = jnp.concatenate([loc_r, lg, lb], axis=0)
+
+    lp_all = _dl(x_all, loc_all, ls_all)             # [3n, BP]
+    lp = lp_all[0:n] + lp_all[n:2 * n] + lp_all[2 * n:3 * n]
     log_softmax = logits - jax.scipy.special.logsumexp(logits, axis=0,
                                                        keepdims=True)
     w = lp + log_softmax
@@ -286,13 +308,11 @@ def _bwd_kernel(x_ref, p_ref, g_ref, dp_ref, *, n_mix):
 
     d_logits = gv * (s - jax.nn.softmax(logits, axis=0))
 
-    dL_r, dS_r, _ = _dl_grads(xr, loc_r, ls_r)
-    dL_g, dS_g, _ = _dl_grads(xg, lg, ls_g)
-    dL_b, dS_b, _ = _dl_grads(xb, lb, ls_b)
-    gL_r, gL_g, gL_b = gw * dL_r, gw * dL_g, gw * dL_b
-
-    def ls_grad(dS, ls_raw):
-        return jnp.where(ls_raw > -7.0, gw * dS, 0.0)
+    dL_all, dS_all, _ = _dl_grads(x_all, loc_all, ls_all)
+    gw3 = jnp.concatenate([gw, gw, gw], axis=0)
+    gL_all = gw3 * dL_all                            # [3n, BP]
+    dS_masked = jnp.where(ls_raw > -7.0, gw3 * dS_all, 0.0)
+    gL_r, gL_g, gL_b = gL_all[0:n], gL_all[n:2 * n], gL_all[2 * n:3 * n]
 
     d_cf_r = gL_g * xr * (1.0 - cf_r * cf_r)
     d_cf_g = gL_b * xr * (1.0 - cf_g * cf_g)
@@ -301,9 +321,9 @@ def _bwd_kernel(x_ref, p_ref, g_ref, dp_ref, *, n_mix):
     dpt = jnp.concatenate(
         [
             d_logits,
-            gL_r, ls_grad(dS_r, ls_r_raw), d_cf_r,
-            gL_g, ls_grad(dS_g, ls_g_raw), d_cf_g,
-            gL_b, ls_grad(dS_b, ls_b_raw), d_cf_b,
+            gL_r, dS_masked[0:n], d_cf_r,
+            gL_g, dS_masked[n:2 * n], d_cf_g,
+            gL_b, dS_masked[2 * n:3 * n], d_cf_b,
         ],
         axis=0,
     )  # [10n, BP]
