@@ -12,11 +12,15 @@ the timing difference attributes that component's marginal cost.
 Variants:
   full          — the shipped model05 step (Pallas MoDL kernel on TPU)
   jnp_modl      — XLA-fused jnp likelihood instead of the Pallas kernel
-  dl_head       — likelihood swapped to a 6-channel discretized-logistic
-                  head (removes the 50-ch head conv + mixture math)
+  dl_head       — likelihood swapped to discretized-logistic. NOTE: the
+                  zoo folds model05's 50-ch head conv into conv_specs, so
+                  ConvDecoder keeps the FULL stack (incl. that conv) and
+                  appends a small separate 6-ch head (decoders.py:215-219)
+                  — the delta isolates the mixture MATH (log-prob fwd+bwd),
+                  not the head conv (round-3 review fix: an earlier label
+                  claimed the 50-ch conv was removed)
   fwd_only      — value only, no backward/optimizer (grad share)
   k1            — one importance sample instead of 5 (k-scaling share)
-  enc_frozen    — stop_gradient after the encoder (decoder-only backward)
 
 Run SOLO on the TPU: python scripts/ablation_attribution.py
 """
@@ -120,7 +124,7 @@ def main():
     full = out["full"]
     attribution = {
         "modl_kernel_vs_xla_gain_ms": round(out["jnp_modl"] - full, 3),
-        "mixture_head_total_ms": round(full - out["dl_head"], 3),
+        "mixture_math_ms": round(full - out["dl_head"], 3),
         "k_scaling_4x_samples_ms": round(full - out["k1"], 3),
         "backward_plus_adam_ms": round(full - out["fwd_only"], 3),
         "imgs_per_sec_full": round(BATCH / full * 1e3, 1),

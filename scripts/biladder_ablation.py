@@ -1,0 +1,184 @@
+"""Differential ablation of the biladder_celeba train step (design.md §12c
+methodology: composed programs differing by ONE component; isolated op
+microbenchmarks are non-predictive on XLA:TPU).
+
+The 64x64 bidirectional ladder sits at 25.2% MFU (bf16 body) vs model05's
+34.6% and model04's 54.7%. Candidate attributions:
+
+  full       — the shipped biladder_celeba step (bf16 body, DL head)
+  f32        — f32 conv bodies (known: 914 vs 1365 imgs/s)
+  nearest    — jax.image.resize method="nearest" in every DecoderBlock
+               (NOT parity: the reference pins interpolation="bilinear",
+               modules/dec.py:41-43 — measures the bilinear surcharge only)
+  manual2x   — exact shift-based 2x bilinear (same numbers as
+               jax.image.resize bilinear, no gather/einsum lowering)
+  k1         — one importance sample instead of 5
+  fwd_only   — value only, no backward/optimizer
+
+Run SOLO on the TPU: python scripts/biladder_ablation.py
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_mdl_tpu.config import DataConfig
+from vae_mdl_tpu.models.vae import build_model
+from vae_mdl_tpu.models.zoo import experiment
+from vae_mdl_tpu.train.state import create_train_state, make_optimizer
+from vae_mdl_tpu.train.steps import make_multi_train_step
+
+BATCH = 128
+SPC = 5
+SHAPE = (64, 64, 3)
+
+_real_resize = jax.image.resize
+
+
+def _upsample2x_axis(x, axis):
+    """Exact jax.image.resize(method='bilinear') for scale factor 2 along
+    one axis: half-pixel sampling puts out[2i] at in-coord i-1/4 and
+    out[2i+1] at i+1/4, i.e. fixed (0.25, 0.75) taps; edge renormalisation
+    equals clamp-to-edge when only one neighbour is valid."""
+    n = x.shape[axis]
+    sl = [slice(None)] * x.ndim
+
+    def take(a, b):
+        s = list(sl)
+        s[axis] = slice(a, b)
+        return x[tuple(s)]
+
+    prev = jnp.concatenate([take(0, 1), take(0, n - 1)], axis=axis)
+    nxt = jnp.concatenate([take(1, n), take(n - 1, n)], axis=axis)
+    even = 0.25 * prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * nxt
+    out = jnp.stack([even, odd], axis=axis + 1 if axis >= 0 else x.ndim + axis + 1)
+    shape = list(x.shape)
+    shape[axis] *= 2
+    return out.reshape(shape)
+
+
+def manual_resize(x, shape, method="bilinear", **kw):
+    if (method == "bilinear" and x.ndim == 4
+            and shape[1] == 2 * x.shape[1] and shape[2] == 2 * x.shape[2]
+            and shape[0] == x.shape[0] and shape[3] == x.shape[3]):
+        return _upsample2x_axis(_upsample2x_axis(x, 1), 2)
+    return _real_resize(x, shape, method=method, **kw)
+
+
+def nearest_resize(x, shape, method="bilinear", **kw):
+    return _real_resize(x, shape, method="nearest", **kw)
+
+
+def _cfg(**model_over):
+    cfg = experiment("biladder_celeba")
+    cfg = dataclasses.replace(cfg, data=DataConfig(dataset="synthetic:celeba"))
+    if model_over:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, **model_over))
+    return cfg
+
+
+def time_step(step, state, batch, n_iters=5):
+    for _ in range(2):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    return (time.perf_counter() - t0) / (n_iters * SPC) * 1e3  # ms/step
+
+
+def build(cfg):
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x_f32 = jnp.zeros((BATCH,) + SHAPE, jnp.float32)
+    state = create_train_state(model, cfg.train, x_f32, cfg.model.n_samples)
+    step = make_multi_train_step(model, cfg, tx, n_steps=SPC, donate=False)
+    return step, state
+
+
+def fwd_only_step(cfg):
+    from vae_mdl_tpu.models.objective import compute_loss
+    from vae_mdl_tpu.models.vae import prior_for
+    from vae_mdl_tpu.train.steps import preprocess
+
+    model = build_model(cfg.model)
+    prior = prior_for(cfg.model)
+    k = cfg.model.n_samples
+
+    def multi(state, batches):
+        def body(s, batch):
+            rngs = s.next_rngs("sample", "binarize")
+            x = preprocess(cfg, batch, rngs["binarize"])
+            Qs, Ps, pxz = model.apply(s.params, x, k,
+                                      rngs={"sample": rngs["sample"]})
+            loss, metrics = compute_loss(prior, Qs, Ps, pxz, x)
+            return s.replace(step=s.step + 1), {"loss": loss}
+
+        state, metrics = jax.lax.scan(body, state, batches)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    return jax.jit(multi)
+
+
+def check_manual_exact():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
+    ref = _real_resize(x, (2, 16, 16, 3), method="bilinear")
+    got = manual_resize(x, (2, 16, 16, 3))
+    err = float(jnp.max(jnp.abs(ref - got)))
+    print(f"manual2x max |err| vs jax bilinear: {err:.2e}", flush=True)
+    assert err < 1e-6, err
+
+
+def main():
+    check_manual_exact()
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(
+        rng.integers(0, 256, (SPC, BATCH) + SHAPE, dtype=np.uint8))
+    out = {}
+
+    def run(name, cfg, resize=None):
+        jax.image.resize = resize or _real_resize
+        try:
+            step, state = build(cfg)
+            out[name] = round(time_step(step, state, batch), 3)
+        finally:
+            jax.image.resize = _real_resize
+        ips = BATCH / out[name] * 1e3
+        print(f"{name:10s} {out[name]:8.3f} ms/step  {ips:8.0f} imgs/s",
+              flush=True)
+
+    run("full", _cfg())
+    run("nearest", _cfg(), nearest_resize)
+    run("manual2x", _cfg(), manual_resize)
+    run("f32", _cfg(compute_dtype="float32"))
+    run("k1", _cfg(n_samples=1))
+
+    cfg = _cfg()
+    step = fwd_only_step(cfg)
+    _, state = build(cfg)
+    out["fwd_only"] = round(time_step(step, state, batch), 3)
+    print(f"{'fwd_only':10s} {out['fwd_only']:8.3f} ms/step", flush=True)
+
+    full = out["full"]
+    out["attribution"] = {
+        "bilinear_vs_nearest_ms": round(full - out["nearest"], 3),
+        "bilinear_vs_manual2x_ms": round(full - out["manual2x"], 3),
+        "bf16_gain_ms": round(out["f32"] - full, 3),
+        "k_scaling_4x_samples_ms": round(full - out["k1"], 3),
+        "backward_plus_adam_ms": round(full - out["fwd_only"], 3),
+        "imgs_per_sec_full": round(BATCH / full * 1e3, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

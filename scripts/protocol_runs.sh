@@ -19,9 +19,9 @@ run() {
   timeout 5400 python -m vae_mdl_tpu.cli.run train "$name" \
     --steps-per-call 100 --device-dataset --no-resume \
     --checkpoint-dir "/tmp/protocol_ckpts" --log-dir "/tmp/protocol_logs" \
-    "$@" > "/tmp/protocol_logs/${name}$2.log" 2>&1
+    "$@" > "/tmp/protocol_logs/${name}.log" 2>&1
   echo "== $name rc=$? =="
-  tail -3 "/tmp/protocol_logs/${name}$2.log"
+  tail -3 "/tmp/protocol_logs/${name}.log"
 }
 
 run model02

@@ -156,10 +156,19 @@ def modl_case(seed=0, shape=(3, 5, 5), n_mix=5):
     x01.flat[::13] = 0.0
     x01.flat[3::17] = 1.0
     params = rng.normal(0.0, 1.0, shape + (n_mix * 10,)).astype(np.float32)
-    # push some logscale channels very negative (post-clamp -7) and some
-    # pre-clamp values below -7 to exercise the max(-7) clamp subgradient
-    params[..., n_mix * 4:n_mix * 7] -= 2.0
-    params[0, ..., n_mix * 4] = -12.0
+    # push the LOGSCALE channels negative (tight scales) and plant pre-clamp
+    # values below -7 to exercise the max(-7) clamp subgradient. Channel
+    # layout is [logits 0:n | R loc/ls/cf n:4n | G 4n:7n | B 7n:10n]
+    # (mixture.split_mixture_params), so the ls blocks are 2n:3n, 5n:6n,
+    # 8n:9n — NOT 4n:7n (that span is G's whole group; a round-3 review
+    # caught the original fixture planting -12 into a G *loc*).
+    for base in (2 * n_mix, 5 * n_mix, 8 * n_mix):
+        params[..., base:base + n_mix] -= 2.0
+    # basic integer indexing gives a VIEW; strided flat writes plant
+    # below-clamp values across pixels regardless of the leading shape
+    params[..., 2 * n_mix].flat[::3] = -12.0
+    params[..., 5 * n_mix + 1].flat[1::4] = -9.0
+    params[..., 8 * n_mix + 2].flat[2::5] = -7.5
     return x01, params
 
 

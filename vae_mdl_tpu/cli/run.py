@@ -129,8 +129,9 @@ def _maybe_bias_init(trainer, cfg) -> None:
 def _final_eval(trainer, cfg, n_samples, mesh) -> None:
     from vae_mdl_tpu.evaluation import evaluate_llh
 
-    state = trainer.ckpt.restore(trainer.state, "best") if trainer.ckpt.has(
-        "best") else trainer.state
+    # cmd_train already reloaded "best" into trainer.state before the asset
+    # dump — no second Orbax read here (round-3 review fix)
+    state = trainer.state
     from vae_mdl_tpu.train.state import eval_params
 
     mean_llh, _, metrics = evaluate_llh(

@@ -90,7 +90,10 @@ class Checkpointer:
             tree = getattr(meta, "item_metadata", None) or meta
             tree = getattr(tree, "tree", tree)
             return tree.get("ema_params") is not None
-        except (AttributeError, TypeError, KeyError, ValueError) as e:
+        except (AttributeError, TypeError, KeyError, ValueError, OSError) as e:
+            # OSError covers FileNotFoundError on partially-written/foreign
+            # checkpoint dirs whose orbax metadata file is absent — exactly
+            # the case the on-disk fallback below exists for
             # on-disk probe: the checkpoint's _METADATA json lists every tree
             # leaf; a no-EMA save has exactly one ('ema_params',) entry with
             # value_type "None", an EMA save has ('ema_params', 'params', ...)
