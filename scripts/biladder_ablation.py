@@ -100,7 +100,9 @@ def build(cfg):
     tx = make_optimizer(cfg.train)
     x_f32 = jnp.zeros((BATCH,) + SHAPE, jnp.float32)
     state = create_train_state(model, cfg.train, x_f32, cfg.model.n_samples)
-    step = make_multi_train_step(model, cfg, tx, n_steps=SPC, donate=False)
+    # donate default matches bench.py's builder so the "full"/"f32" variants
+    # hit the persistent XLA cache warmed by bench runs
+    step = make_multi_train_step(model, cfg, tx, n_steps=SPC)
     return step, state
 
 
@@ -138,14 +140,20 @@ def check_manual_exact():
     assert err < 1e-6, err
 
 
-def main():
+def main(argv):
+    """Pass variant names to run a subset (fresh tunnel compiles of this
+    model take minutes each — chunk the runs); no args = all variants."""
     check_manual_exact()
     rng = np.random.default_rng(0)
     batch = jnp.asarray(
         rng.integers(0, 256, (SPC, BATCH) + SHAPE, dtype=np.uint8))
     out = {}
+    want = set(argv) or {
+        "full", "nearest", "manual2x", "f32", "k1", "fwd_only", "remat"}
 
     def run(name, cfg, resize=None):
+        if name not in want:
+            return
         jax.image.resize = resize or _real_resize
         try:
             step, state = build(cfg)
@@ -162,23 +170,34 @@ def main():
     run("f32", _cfg(compute_dtype="float32"))
     run("k1", _cfg(n_samples=1))
 
-    cfg = _cfg()
-    step = fwd_only_step(cfg)
-    _, state = build(cfg)
-    out["fwd_only"] = round(time_step(step, state, batch), 3)
-    print(f"{'fwd_only':10s} {out['fwd_only']:8.3f} ms/step", flush=True)
+    if "remat" in want:
+        # rematerialise every ResidualBlock in the backward: if the 3:1
+        # bwd:fwd ratio comes from HBM pressure (activation spills), paying
+        # recompute FLOPs to shrink the live set should WIN end-to-end
+        import flax.linen as nn
 
-    full = out["full"]
-    out["attribution"] = {
-        "bilinear_vs_nearest_ms": round(full - out["nearest"], 3),
-        "bilinear_vs_manual2x_ms": round(full - out["manual2x"], 3),
-        "bf16_gain_ms": round(out["f32"] - full, 3),
-        "k_scaling_4x_samples_ms": round(full - out["k1"], 3),
-        "backward_plus_adam_ms": round(full - out["fwd_only"], 3),
-        "imgs_per_sec_full": round(BATCH / full * 1e3, 1),
-    }
+        import vae_mdl_tpu.nn.blocks as blocks
+        real_rb = blocks.ResidualBlock
+        blocks.ResidualBlock = nn.remat(real_rb)
+        try:
+            step, state = build(_cfg())
+            out["remat"] = round(time_step(step, state, batch), 3)
+        finally:
+            blocks.ResidualBlock = real_rb
+        print(f"{'remat':10s} {out['remat']:8.3f} ms/step  "
+              f"{BATCH / out['remat'] * 1e3:8.0f} imgs/s", flush=True)
+
+    if "fwd_only" in want:
+        cfg = _cfg()
+        step = fwd_only_step(cfg)
+        _, state = build(cfg)
+        out["fwd_only"] = round(time_step(step, state, batch), 3)
+        print(f"{'fwd_only':10s} {out['fwd_only']:8.3f} ms/step", flush=True)
+
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(sys.argv[1:])
