@@ -46,8 +46,8 @@ __all__ = [
 
 def __getattr__(name):
     """Lazy heavyweight exports: models/trainer/eval without import cost."""
-    if name in ("MODELS", "build_model", "experiment", "compute_loss",
-                "iwae_loss", "elbo_loss"):
+    if name in ("MODELS", "build_model", "experiment", "register_model",
+                "compute_loss", "iwae_loss", "elbo_loss"):
         import vae_mdl_tpu.models as m
 
         return getattr(m, name)

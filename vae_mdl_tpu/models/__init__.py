@@ -15,6 +15,7 @@ from vae_mdl_tpu.models.zoo import (
     MODEL06,
     MODELS,
     experiment,
+    register_model,
 )
 
 __all__ = [
@@ -33,4 +34,5 @@ __all__ = [
     "MODEL06",
     "MODELS",
     "experiment",
+    "register_model",
 ]

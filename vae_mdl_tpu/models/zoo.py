@@ -196,6 +196,24 @@ _N_UPDATES = {
 }
 
 
+def register_model(model, dataset: str = "svhn_cropped",
+                   n_updates: int = 100_000) -> None:
+    """Register a user-defined model config under ``model.name`` so
+    :func:`experiment` and the CLI (``run train/eval/sample <name>``)
+    drive it exactly like a zoo entry.
+
+    ``model`` is any config :func:`vae_mdl_tpu.models.vae.build_model`
+    accepts — a :class:`ModelConfig`, a ladder config, or a user dataclass
+    with a registered builder. The reference has NO extension point:
+    adding a variant meant copying a whole model file and editing
+    hardcoded constants (SURVEY.md §5 "Config / flag system: None");
+    here a new family is one config value. See examples/custom_model.py.
+    """
+    MODELS[model.name] = model
+    _DATASETS[model.name] = dataset
+    _N_UPDATES[model.name] = n_updates
+
+
 def experiment(name: str, **overrides) -> ExperimentConfig:
     """Full experiment config for a named model, reference defaults."""
     model = MODELS[name]
