@@ -18,7 +18,7 @@ This framework re-designs that capability surface TPU-first:
 - optional fused Pallas kernels for the discretized-logistic likelihoods.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from vae_mdl_tpu.distributions import (
     Bernoulli,
