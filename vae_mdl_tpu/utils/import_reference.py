@@ -1,0 +1,154 @@
+"""Import trained weights from the reference's Keras checkpoints.
+
+The reference trains with ``tf.keras`` ``save_weights`` (TF object-based
+checkpoints, models/model01.py:263-264 ``save``/``load``). A user migrating
+from nbip/vae-mdl can bring their trained models along:
+
+    from vae_mdl_tpu.utils.import_reference import load_reference_weights
+    params = load_reference_weights("saved_models/model01/best",
+                                    "model01", params_template)
+
+Supported families and their reference object graphs (checkpoint keys are
+the attribute paths):
+
+- ``model01`` (MLP, models/model01.py:70-139): ``encoder.encode_x_to_z.
+  {l1,l2,lmu,lstd}`` Dense layers and ``decoder.decode_z_to_x`` a
+  3-layer ``Sequential`` (``layer_with_weights-N``).
+- ``model02`` / ``model03`` / ``model05`` (conv, model02.py:25-80 =
+  model03 = model05.py:24-81 modulo the head width): ``encoder.convs``
+  Sequential of Conv2D + ``encoder.fc`` Dense; ``decoder.fc`` Dense +
+  ``decoder.deconvs`` Sequential of Conv2DTranspose ending in a Conv2D
+  head.
+- ``model04`` / ``model06`` are NOT supported (GLU stacks / two-level
+  MLPs add nested graphs the mapping tables below don't cover); a clear
+  error says so.
+
+Weight-layout facts (validated numerically in
+tests/test_import_reference.py against live Keras layers):
+
+- Dense and Conv2D kernels share flax's layout ([in,out] / [kh,kw,in,out])
+  — copied as-is.
+- Conv2DTranspose kernels are [kh, kw, OUT, IN] in Keras while flax's
+  ``nn.ConvTranspose`` wants [kh, kw, in, out] and composes the transposed
+  conv WITHOUT the spatial mirror TF applies, so the import transform is
+  ``transpose(0,1,3,2)`` + a spatial flip (exact to f32 ulp).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import numpy as np
+
+_SUFFIX = "/.ATTRIBUTES/VARIABLE_VALUE"
+
+
+def _model01_map() -> Dict[Tuple[str, ...], Tuple[str, str]]:
+    enc = "encoder/encode_x_to_z"
+    dec = "decoder/decode_z_to_x"
+    return {
+        ("encoder", "MLPBlock_0", "Dense_0"): (f"{enc}/l1", "dense"),
+        ("encoder", "MLPBlock_0", "Dense_1"): (f"{enc}/l2", "dense"),
+        ("encoder", "MLPBlock_0", "Dense_2"): (f"{enc}/lmu", "dense"),
+        ("encoder", "MLPBlock_0", "Dense_3"): (f"{enc}/lstd", "dense"),
+        ("decoder", "Dense_0"): (f"{dec}/layer_with_weights-0", "dense"),
+        ("decoder", "Dense_1"): (f"{dec}/layer_with_weights-1", "dense"),
+        ("decoder", "out"): (f"{dec}/layer_with_weights-2", "dense"),
+    }
+
+
+def _conv_family_map(params) -> Dict[Tuple[str, ...], Tuple[str, str]]:
+    """model02/03/05: encoder convs + fc, decoder fc + deconvs(+conv head).
+    Layer counts are read off the params template so the one table serves
+    every head width."""
+    tree = params["params"] if "params" in params else params
+    n_enc = sum(1 for k in tree["encoder"] if k.startswith("conv_"))
+    n_dec = sum(1 for k in tree["decoder"] if k.startswith("conv_"))
+    m: Dict[Tuple[str, ...], Tuple[str, str]] = {
+        ("encoder", "Dense_0"): ("encoder/fc", "dense"),
+        ("decoder", "Dense_0"): ("decoder/fc", "dense"),
+    }
+    for i in range(n_enc):
+        m[("encoder", f"conv_{i}")] = (
+            f"encoder/convs/layer_with_weights-{i}", "conv")
+    for i in range(n_dec):
+        # the final Sequential entry is a plain Conv2D likelihood head
+        kind = "deconv" if i < n_dec - 1 else "conv"
+        m[("decoder", f"conv_{i}")] = (
+            f"decoder/deconvs/layer_with_weights-{i}", kind)
+    return m
+
+
+def _transform_kernel(kind: str, arr: np.ndarray) -> np.ndarray:
+    if kind == "deconv":
+        # Keras [kh,kw,out,in] -> flax [kh,kw,in,out], plus the spatial
+        # mirror TF's conv2d_transpose implies (module docstring)
+        return np.ascontiguousarray(
+            np.transpose(arr, (0, 1, 3, 2))[::-1, ::-1])
+    return arr
+
+
+def load_reference_weights(ckpt_prefix: str, model_name: str, params):
+    """Read a reference ``save_weights`` checkpoint into a params pytree.
+
+    ``params`` is the shape template (from ``model.init`` or
+    ``create_train_state(...).params``); the return value is a new pytree
+    with every mapped leaf replaced by the imported float32 weight.
+    Unknown families, missing checkpoint keys and shape mismatches raise
+    with actionable messages.
+    """
+    if model_name == "model01":
+        mapping = _model01_map()
+    elif model_name in ("model02", "model03", "model05"):
+        mapping = _conv_family_map(params)
+    else:
+        raise NotImplementedError(
+            f"no reference weight mapping for {model_name!r}: supported "
+            "families are model01/model02/model03/model05 (model04's GLU "
+            "stacks and model06's two-level graph are not mapped)")
+
+    try:
+        from tensorflow.python.training import py_checkpoint_reader
+        reader = py_checkpoint_reader.NewCheckpointReader(ckpt_prefix)
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "importing reference checkpoints needs tensorflow "
+            "(pip install tensorflow-cpu)") from e
+
+    available = set(reader.get_variable_to_shape_map())
+    # index template leaves by their string path for lookup
+    leaves = {
+        tuple(getattr(k, "key", getattr(k, "name", str(k))) for k in path):
+            leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+
+    updates = {}
+    for flax_path, (ref_base, kind) in mapping.items():
+        for pname, ref_var in (("kernel", "kernel"), ("bias", "bias")):
+            key = ref_base + "/" + ref_var + _SUFFIX
+            full_flax = ("params",) + flax_path + (pname,)
+            if full_flax not in leaves:
+                raise KeyError(
+                    f"params template has no leaf {full_flax} — wrong "
+                    f"model config for {model_name!r}?")
+            if key not in available:
+                raise KeyError(
+                    f"checkpoint {ckpt_prefix!r} lacks {key!r}; is this a "
+                    f"{model_name} save_weights checkpoint? available keys "
+                    f"include: {sorted(available)[:4]} ...")
+            arr = reader.get_tensor(key)
+            if pname == "kernel":
+                arr = _transform_kernel(kind, arr)
+            want = leaves[full_flax].shape
+            if tuple(arr.shape) != tuple(want):
+                raise ValueError(
+                    f"shape mismatch importing {key!r} -> {full_flax}: "
+                    f"checkpoint {tuple(arr.shape)} vs template {want}")
+            updates[full_flax] = np.asarray(arr, np.float32)
+
+    def replace(path, leaf):
+        p = tuple(getattr(k, "key", getattr(k, "name", str(k))) for k in path)
+        return updates.get(p, leaf)
+
+    return jax.tree_util.tree_map_with_path(replace, params)
