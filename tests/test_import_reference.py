@@ -84,18 +84,14 @@ class _Ref01(tf.keras.Model):
         return self.decoder(mu)
 
 
-class _Enc05(tf.keras.Model):  # models/model05.py:24-52
-    def __init__(self, n_latent=20):
+class _Enc05(tf.keras.Model):  # models/model05.py:24-52; act=gelu -> model06
+    def __init__(self, n_latent=20, act=tf.nn.relu):
         super().__init__()
         self.convs = tf.keras.Sequential([
-            layers.Conv2D(32, 3, strides=1, padding="same",
-                          activation=tf.nn.relu),
-            layers.Conv2D(64, 3, strides=2, padding="same",
-                          activation=tf.nn.relu),
-            layers.Conv2D(128, 3, strides=2, padding="same",
-                          activation=tf.nn.relu),
-            layers.Conv2D(256, 3, strides=2, padding="same",
-                          activation=tf.nn.relu),
+            layers.Conv2D(32, 3, strides=1, padding="same", activation=act),
+            layers.Conv2D(64, 3, strides=2, padding="same", activation=act),
+            layers.Conv2D(128, 3, strides=2, padding="same", activation=act),
+            layers.Conv2D(256, 3, strides=2, padding="same", activation=act),
         ])
         self.fc = layers.Dense(2 * n_latent)
 
@@ -106,18 +102,18 @@ class _Enc05(tf.keras.Model):  # models/model05.py:24-52
         return mu, logstd
 
 
-class _Dec05(tf.keras.Model):  # models/model05.py:55-92
-    def __init__(self, n_mix=5):
+class _Dec05(tf.keras.Model):  # models/model05.py:55-92; head/act -> model06
+    def __init__(self, n_head=50, act=tf.nn.relu):
         super().__init__()
-        self.fc = layers.Dense(4 * 4 * 128, activation=tf.nn.relu)
+        self.fc = layers.Dense(4 * 4 * 128, activation=act)
         self.deconvs = tf.keras.Sequential([
             layers.Conv2DTranspose(128, 4, strides=2, padding="same",
-                                   activation=tf.nn.relu),
+                                   activation=act),
             layers.Conv2DTranspose(64, 4, strides=2, padding="same",
-                                   activation=tf.nn.relu),
+                                   activation=act),
             layers.Conv2DTranspose(32, 4, strides=2, padding="same",
-                                   activation=tf.nn.relu),
-            layers.Conv2D(n_mix * 10, 3, padding="same", activation=None),
+                                   activation=act),
+            layers.Conv2D(n_head, 3, padding="same", activation=None),
         ])
 
     def call(self, z):
@@ -145,10 +141,10 @@ def _write_ref_ckpt(prefix, entries):
     """entries: {ref_base_path: keras_layer} -> TF-format checkpoint whose
     keys are `<base>/kernel/.ATTRIBUTES/VARIABLE_VALUE` (+ bias), i.e. the
     Keras-2 save_weights object-graph layout."""
-    roots = {"encoder": _Node(), "decoder": _Node()}
+    roots = {}
     for base, layer in entries.items():
         parts = base.split("/")
-        obj = roots[parts[0]]
+        obj = roots.setdefault(parts[0].replace("-", "_"), _Node())
         for p in parts[1:]:
             nxt = getattr(obj, p, None)
             if nxt is None:
@@ -247,7 +243,214 @@ def test_model05_roundtrip(tmp_path):
                                rtol=1e-4, atol=1e-4)
 
 
+class _GLU(tf.keras.layers.Layer):  # modules/glu.py:5-33
+    def __init__(self, filters=64):
+        super().__init__()
+        self.conv = tf.keras.Sequential([
+            layers.Conv2D(filters, 3, strides=1, padding="same",
+                          activation=tf.nn.relu),
+            layers.Conv2D(2 * filters, 3, strides=1, padding="same",
+                          activation=None),
+        ])
+
+    def call(self, x):
+        a, b = tf.split(self.conv(x), 2, axis=-1)
+        return tf.nn.relu(a * tf.nn.sigmoid(b))
+
+
+class _Enc04(tf.keras.Model):  # models/model04.py:24-50
+    def __init__(self, n_latent=50):
+        super().__init__()
+        self.convs = tf.keras.Sequential([
+            layers.Conv2D(128, 4, strides=2, padding="same",
+                          activation=tf.nn.relu),
+            layers.Conv2D(256, 4, strides=2, padding="same",
+                          activation=tf.nn.relu),
+            layers.Conv2D(256, 3, strides=1, padding="same",
+                          activation=tf.nn.relu),
+            *[_GLU() for _ in range(5)],
+        ])
+        self.fc = layers.Dense(2 * n_latent)
+
+    def call(self, x):
+        out = self.convs(x)
+        out = tf.reshape(out, [out.shape[0], -1])
+        return tf.split(self.fc(out), 2, axis=-1)
+
+
+class _Dec04(tf.keras.Model):  # models/model04.py:53-77
+    def __init__(self):
+        super().__init__()
+        self.fc = layers.Dense(8 * 8 * 63, activation=tf.nn.relu)
+        self.deconvs = tf.keras.Sequential([
+            layers.Conv2D(256, 3, strides=1, padding="same",
+                          activation=tf.nn.relu),
+            *[_GLU() for _ in range(5)],
+            layers.Conv2DTranspose(128, 4, strides=2, padding="same",
+                                   activation=tf.nn.relu),
+            layers.Conv2DTranspose(6, 4, strides=2, padding="same",
+                                   activation=None),
+        ])
+
+    def call(self, z):
+        h = tf.reshape(self.fc(z), [-1, 8, 8, 63])
+        return self.deconvs(h)
+
+
+def test_model04_roundtrip(tmp_path):
+    from vae_mdl_tpu.models.zoo import MODEL04
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    enc, dec = _Enc04(), _Dec04()
+    z_build = dec(tf.constant(rng.standard_normal((2, 50), ).astype(np.float32)))
+    enc(tf.constant(x))
+
+    entries = {"encoder/fc": enc.fc, "decoder/fc": dec.fc}
+    for i, layer in enumerate(enc.convs.layers):
+        base = f"encoder/convs/layer_with_weights-{i}"
+        if isinstance(layer, _GLU):
+            for j, sub in enumerate(layer.conv.layers):
+                entries[f"{base}/conv/layer_with_weights-{j}"] = sub
+        else:
+            entries[base] = layer
+    for i, layer in enumerate(dec.deconvs.layers):
+        base = f"decoder/deconvs/layer_with_weights-{i}"
+        if isinstance(layer, _GLU):
+            for j, sub in enumerate(layer.conv.layers):
+                entries[f"{base}/conv/layer_with_weights-{j}"] = sub
+        else:
+            entries[base] = layer
+    prefix = str(tmp_path / "best")
+    _write_ref_ckpt(prefix, entries)
+
+    model, params = _init_params(MODEL04, jnp.asarray(x))
+    params = load_reference_weights(prefix, "model04", params)
+
+    q = model.apply(params, jnp.asarray(x),
+                    method=lambda m, a: m.encoder(a))
+    mu_tf, logstd_tf = enc(tf.constant(x))
+    np.testing.assert_allclose(np.asarray(q.loc), mu_tf.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+    z = rng.standard_normal((2, 50)).astype(np.float32)
+    obs = model.apply(params, jnp.asarray(z),
+                      method=lambda m, a: m.decoder(a))
+    out_tf = dec(tf.constant(z)).numpy()
+    mu_ref, ls_ref = np.split(out_tf, 2, axis=-1)
+    np.testing.assert_allclose(np.asarray(obs.loc), mu_ref,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(obs.logscale), ls_ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_model06_roundtrip(tmp_path):
+    from vae_mdl_tpu.models.zoo import MODEL06
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    # model06 = the model05 conv skeleton with gelu activations and a
+    # 6-channel DL head (model06.py:102-167); its BasicBlocks are gelu +
+    # softplus-lstd (model06.py:81-98)
+    enc = _Enc05(n_latent=20, act=tf.nn.gelu)
+    dec = _Dec05(n_head=6, act=tf.nn.gelu)
+
+    class _BasicBlock06(tf.keras.Model):
+        def __init__(self, n_hidden, n_latent):
+            super().__init__()
+            self.l1 = layers.Dense(n_hidden, activation=tf.nn.gelu)
+            self.l2 = layers.Dense(n_hidden, activation=tf.nn.gelu)
+            self.lmu = layers.Dense(n_latent, activation=None)
+            self.lstd = layers.Dense(n_latent, activation=tf.nn.softplus)
+
+        def call(self, z):
+            h2 = self.l2(self.l1(z))
+            return self.lmu(h2), self.lstd(h2)
+
+    mlp_enc = _BasicBlock06(100, 20)
+    mlp_dec = _BasicBlock06(100, 20)
+    enc(tf.constant(x))
+    dec(tf.constant(rng.standard_normal((2, 20)).astype(np.float32)))
+    mlp_enc(tf.constant(rng.standard_normal((2, 20)).astype(np.float32)))
+    mlp_dec(tf.constant(rng.standard_normal((2, 20)).astype(np.float32)))
+
+    entries = {"encoder/fc": enc.fc, "decoder/fc": dec.fc}
+    for i, layer in enumerate(enc.convs.layers):
+        entries[f"encoder/convs/layer_with_weights-{i}"] = layer
+    for i, layer in enumerate(dec.deconvs.layers):
+        entries[f"decoder/deconvs/layer_with_weights-{i}"] = layer
+    for name, blk in (("mlp_encoder", mlp_enc), ("mlp_decoder", mlp_dec)):
+        for attr in ("l1", "l2", "lmu", "lstd"):
+            entries[f"{name}/{attr}"] = getattr(blk, attr)
+    prefix = str(tmp_path / "best")
+    _write_ref_ckpt(prefix, entries)
+
+    model, params = _init_params(MODEL06, jnp.asarray(x))
+    params = load_reference_weights(prefix, "model06", params)
+
+    # second-stochastic-layer MLP agreement (model06's distinguishing part)
+    z1 = rng.standard_normal((2, 20)).astype(np.float32)
+    q2 = model.apply(params, jnp.asarray(z1),
+                     method=lambda m, a: m.mlp_encoders[0](a))
+    mu_tf, std_tf = mlp_enc(tf.constant(z1))
+    np.testing.assert_allclose(np.asarray(q2.loc), mu_tf.numpy(),
+                               rtol=1e-5, atol=1e-5)
+    # reference applies softplus as the lstd activation then +1e-6
+    # (model06.py:84-95) — our MLPBlock does the same via std_transform
+    np.testing.assert_allclose(np.asarray(q2.scale),
+                               std_tf.numpy() + 1e-6, rtol=1e-5, atol=1e-5)
+
+    # conv encoder + DL decoder agreement
+    q = model.apply(params, jnp.asarray(x),
+                    method=lambda m, a: m.encoder(a))
+    mu_e, logstd_e = enc(tf.constant(x))
+    np.testing.assert_allclose(np.asarray(q.loc), mu_e.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    obs = model.apply(params, jnp.asarray(z1),
+                      method=lambda m, a: m.decoder(a))
+    out_tf = dec(tf.constant(z1)).numpy()
+    mu_ref, ls_ref = np.split(out_tf, 2, axis=-1)
+    np.testing.assert_allclose(np.asarray(obs.loc), mu_ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_cli_eval_from_reference(tmp_path, monkeypatch, capsys):
+    """The migration flow end to end: a reference save_weights checkpoint
+    evaluated directly through ``cli.run eval --from-reference`` (no Orbax
+    checkpoint involved)."""
+    from vae_mdl_tpu.cli.run import main
+
+    ref = _Ref01()
+    ref(tf.constant(np.zeros((1, 28, 28, 1), np.float32)))
+    prefix = str(tmp_path / "ref" / "best")
+    blk = ref.encoder.encode_x_to_z
+    seq = ref.decoder.decode_z_to_x.layers
+    _write_ref_ckpt(prefix, {
+        "encoder/encode_x_to_z/l1": blk.l1,
+        "encoder/encode_x_to_z/l2": blk.l2,
+        "encoder/encode_x_to_z/lmu": blk.lmu,
+        "encoder/encode_x_to_z/lstd": blk.lstd,
+        "decoder/decode_z_to_x/layer_with_weights-0": seq[0],
+        "decoder/decode_z_to_x/layer_with_weights-1": seq[1],
+        "decoder/decode_z_to_x/layer_with_weights-2": seq[2],
+    })
+
+    monkeypatch.chdir(tmp_path)
+    main([
+        "eval", "model01",
+        "--from-reference", prefix,
+        "--dataset", "synthetic:mnist",
+        "--batch-size", "8", "--n-samples", "4",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--log-dir", str(tmp_path / "tb"),
+        "--mesh", "none",
+    ])
+    out = capsys.readouterr().out
+    assert "imported reference weights" in out
+    assert "test LLH" in out and "WARNING" not in out
+
+
 def test_unsupported_families_raise(tmp_path):
     model, params = _init_params(MODEL01, jnp.zeros((1, 28, 28, 1)))
-    with pytest.raises(NotImplementedError, match="model04"):
-        load_reference_weights(str(tmp_path / "x"), "model04", params)
+    with pytest.raises(NotImplementedError, match="ladder"):
+        load_reference_weights(str(tmp_path / "x"), "ladder_svhn", params)

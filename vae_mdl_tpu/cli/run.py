@@ -8,6 +8,7 @@ train_model.py:1). Here:
 
     python -m vae_mdl_tpu.cli.run train model01 [--n-updates N] [--dataset D]
     python -m vae_mdl_tpu.cli.run eval  model01 [--n-samples 5000] [--ckpt best]
+    python -m vae_mdl_tpu.cli.run sample model05 [--n 64]
     python -m vae_mdl_tpu.cli.run list
 
 ``train`` runs the reference protocol end-to-end: train with eval-interval
@@ -90,7 +91,14 @@ def cmd_train(args) -> None:
     mesh = _make_mesh_or_none(args.mesh, cfg.mesh)
     trainer = Trainer(cfg, mesh=mesh)
 
-    if cfg.model.name == "model01":
+    if args.from_reference:
+        if int(trainer.state.step) != 0:
+            raise SystemExit(
+                "--from-reference warm-starts a FRESH run, but a resumable "
+                "checkpoint exists; pass --no-resume or a new "
+                "--checkpoint-dir")
+        _import_reference(trainer, cfg, args.from_reference, "train")
+    elif cfg.model.name == "model01":
         _maybe_bias_init(trainer, cfg)
 
     state = trainer.fit(profile_dir=args.profile)
@@ -108,6 +116,32 @@ def cmd_train(args) -> None:
     if not args.skip_final_eval:
         _final_eval(trainer, cfg,
                     args.n_samples or cfg.train.n_eval_samples, mesh)
+
+
+def _import_reference(trainer, cfg, prefix: str, what: str) -> None:
+    """Load a reference (nbip/vae-mdl Keras ``save_weights``) checkpoint into
+    the live state — the migration path: train there, eval/sample/fine-tune
+    here. Leaves keep the template's sharding (mesh runs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_mdl_tpu.utils.import_reference import load_reference_weights
+
+    new = load_reference_weights(prefix, cfg.model.name, trainer.state.params)
+
+    def put(n, old):
+        n = jnp.asarray(n, old.dtype) if hasattr(old, "dtype") else n
+        sh = getattr(old, "sharding", None)
+        return jax.device_put(n, sh) if sh is not None else n
+
+    params = jax.tree.map(put, new, trainer.state.params)
+    state = trainer.state.replace(params=params)
+    if state.ema_params is not None:
+        # seed the EMA at the imported point, as a fresh EMA run would
+        state = state.replace(ema_params=params)
+    trainer.state = state
+    print(f"[{what}] imported reference weights from {prefix!r} "
+          f"({cfg.model.name})")
 
 
 def _maybe_bias_init(trainer, cfg) -> None:
@@ -173,7 +207,9 @@ def cmd_eval(args) -> None:
     cfg = _apply_overrides(experiment(args.model), args)
     mesh = _make_mesh_or_none(args.mesh, cfg.mesh)
     trainer = Trainer(cfg, mesh=mesh)
-    if trainer.ckpt.has(args.ckpt):
+    if args.from_reference:
+        _import_reference(trainer, cfg, args.from_reference, "eval")
+    elif trainer.ckpt.has(args.ckpt):
         trainer.state = trainer.ckpt.restore(trainer.state, args.ckpt)
         print(f"[eval] loaded '{args.ckpt}' at step {int(trainer.state.step)}")
         _warn_dropped_ema(trainer, cfg, args.ckpt, "eval")
@@ -220,7 +256,9 @@ def cmd_sample(args) -> None:
     init_distributed()
     cfg = _apply_overrides(experiment(args.model), args)
     trainer = Trainer(cfg, mesh=_make_mesh_or_none(args.mesh, cfg.mesh))
-    if trainer.ckpt.has(args.ckpt):
+    if args.from_reference:
+        _import_reference(trainer, cfg, args.from_reference, "sample")
+    elif trainer.ckpt.has(args.ckpt):
         trainer.state = trainer.ckpt.restore(trainer.state, args.ckpt)
         _warn_dropped_ema(trainer, cfg, args.ckpt, "sample")
     sampler = make_sampler(trainer.model, cfg.model)
@@ -287,6 +325,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="tanh-bound the DL head's logstd (the "
                         "reference's commented-out stability remedy, "
                         "model04.py:86-89)")
+        sp.add_argument("--from-reference", metavar="CKPT_PREFIX",
+                        help="import weights from a reference (nbip/vae-mdl) "
+                             "Keras save_weights checkpoint prefix, e.g. "
+                             "saved_models/model05/best — eval/sample use "
+                             "them directly; train warm-starts from them")
         sp.add_argument("--strict-data", action="store_true",
                         help="fail if dataset files are missing instead of "
                              "falling back to synthetic data (parity runs)")

@@ -19,9 +19,12 @@ the attribute paths):
   Sequential of Conv2D + ``encoder.fc`` Dense; ``decoder.fc`` Dense +
   ``decoder.deconvs`` Sequential of Conv2DTranspose ending in a Conv2D
   head.
-- ``model04`` / ``model06`` are NOT supported (GLU stacks / two-level
-  MLPs add nested graphs the mapping tables below don't cover); a clear
-  error says so.
+- ``model04`` (model04.py:25-77): the conv skeleton with 5-GLU stacks on
+  both sides (each GLU nests a ``conv`` Sequential of two Conv2D,
+  modules/glu.py:11-28) and a Conv2DTranspose as the DL head.
+- ``model06`` (model06.py:140-191): the conv family plus the two
+  top-level ``mlp_encoder`` / ``mlp_decoder`` BasicBlocks of the second
+  stochastic layer.
 
 Weight-layout facts (validated numerically in
 tests/test_import_reference.py against live Keras layers):
@@ -79,6 +82,50 @@ def _conv_family_map(params) -> Dict[Tuple[str, ...], Tuple[str, str]]:
     return m
 
 
+def _model06_map(params) -> Dict[Tuple[str, ...], Tuple[str, str]]:
+    """model06 = the conv family plus the two top-level MLP blocks of the
+    second stochastic layer (model06.py:188-191: ``mlp_encoder`` /
+    ``mlp_decoder`` BasicBlocks)."""
+    m = _conv_family_map(params)
+    for ours, ref in (("mlp_encoder_1", "mlp_encoder"),
+                      ("mlp_decoder_1", "mlp_decoder")):
+        for dn, rn in (("Dense_0", "l1"), ("Dense_1", "l2"),
+                       ("Dense_2", "lmu"), ("Dense_3", "lstd")):
+            m[(ours, dn)] = (f"{ref}/{rn}", "dense")
+    return m
+
+
+def _model04_map() -> Dict[Tuple[str, ...], Tuple[str, str]]:
+    """model04 (model04.py:25-77): encoder ``convs`` = 3 Conv2D + 5 GLU,
+    decoder ``deconvs`` = Conv2D + 5 GLU + 2 Conv2DTranspose (the final
+    transpose IS the 6-channel DL head). Each reference GLU
+    (modules/glu.py:5-33) holds ``conv`` = Sequential(Conv2D, Conv2D),
+    mapping onto our GLU's Conv_0/Conv_1."""
+    m: Dict[Tuple[str, ...], Tuple[str, str]] = {
+        ("encoder", "Dense_0"): ("encoder/fc", "dense"),
+        ("decoder", "Dense_0"): ("decoder/fc", "dense"),
+        ("decoder", "pre_0"): ("decoder/deconvs/layer_with_weights-0",
+                               "conv"),
+        ("decoder", "conv_0"): ("decoder/deconvs/layer_with_weights-6",
+                                "deconv"),
+        ("decoder", "conv_1"): ("decoder/deconvs/layer_with_weights-7",
+                                "deconv"),
+    }
+    for i in range(3):
+        m[("encoder", f"conv_{i}")] = (
+            f"encoder/convs/layer_with_weights-{i}", "conv")
+    for g in range(5):
+        for tower, base in (("encoder", f"encoder/convs/"
+                                        f"layer_with_weights-{3 + g}/conv"),
+                            ("decoder", f"decoder/deconvs/"
+                                        f"layer_with_weights-{1 + g}/conv")):
+            m[(tower, f"glu_{g}", "Conv_0")] = (
+                f"{base}/layer_with_weights-0", "conv")
+            m[(tower, f"glu_{g}", "Conv_1")] = (
+                f"{base}/layer_with_weights-1", "conv")
+    return m
+
+
 def _transform_kernel(kind: str, arr: np.ndarray) -> np.ndarray:
     if kind == "deconv":
         # Keras [kh,kw,out,in] -> flax [kh,kw,in,out], plus the spatial
@@ -101,11 +148,15 @@ def load_reference_weights(ckpt_prefix: str, model_name: str, params):
         mapping = _model01_map()
     elif model_name in ("model02", "model03", "model05"):
         mapping = _conv_family_map(params)
+    elif model_name == "model04":
+        mapping = _model04_map()
+    elif model_name == "model06":
+        mapping = _model06_map(params)
     else:
         raise NotImplementedError(
             f"no reference weight mapping for {model_name!r}: supported "
-            "families are model01/model02/model03/model05 (model04's GLU "
-            "stacks and model06's two-level graph are not mapped)")
+            "families are model01-model06 (ladders/digits are this repo's "
+            "own additions with no reference checkpoints to import)")
 
     try:
         from tensorflow.python.training import py_checkpoint_reader
