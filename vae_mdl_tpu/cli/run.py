@@ -9,6 +9,7 @@ train_model.py:1). Here:
     python -m vae_mdl_tpu.cli.run train model01 [--n-updates N] [--dataset D]
     python -m vae_mdl_tpu.cli.run eval  model01 [--n-samples 5000] [--ckpt best]
     python -m vae_mdl_tpu.cli.run sample model05 [--n 64]
+    python -m vae_mdl_tpu.cli.run export model05 [--what sampler] [--platforms tpu,cpu]
     python -m vae_mdl_tpu.cli.run list
 
 ``train`` runs the reference protocol end-to-end: train with eval-interval
@@ -272,6 +273,45 @@ def cmd_sample(args) -> None:
     print(f"[sample] wrote {args.n} prior samples to {out}")
 
 
+def cmd_export(args) -> None:
+    """AOT-export a trained model for serving (jax.export / StableHLO):
+    weights baked in, loadable with only jax (models/export.py)."""
+    import numpy as np
+
+    from vae_mdl_tpu.models import export as mexport
+    from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.train.state import eval_params
+    from vae_mdl_tpu.train.trainer import Trainer
+
+    cfg = _apply_overrides(experiment(args.model), args)
+    trainer = Trainer(cfg, mesh=None)
+    if args.from_reference:
+        _import_reference(trainer, cfg, args.from_reference, "export")
+    elif trainer.ckpt.has(args.ckpt):
+        trainer.state = trainer.ckpt.restore(trainer.state, args.ckpt)
+        _warn_dropped_ema(trainer, cfg, args.ckpt, "export")
+    else:
+        print(f"[export] WARNING: no '{args.ckpt}' checkpoint; "
+              "exporting INIT weights")
+    params = eval_params(cfg.train, trainer.state)
+
+    platforms = args.platforms.split(",") if args.platforms else None
+    out = args.out or f"./assets/{cfg.model.name}_{args.what}.stablehlo"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    if args.what == "sampler":
+        blob = mexport.export_sampler(trainer.model, cfg.model, params,
+                                      n=args.n, path=out,
+                                      platforms=platforms)
+    else:
+        shape = (args.n,) + np.asarray(next(trainer.val_iter)).shape[1:]
+        fn = (mexport.export_reconstructor if args.what == "reconstructor"
+              else mexport.export_encoder)
+        blob = fn(trainer.model, cfg.model, params, shape, path=out,
+                  platforms=platforms)
+    print(f"[export] wrote {args.what} ({len(blob)} bytes, "
+          f"platforms={platforms or 'native'}) to {out}")
+
+
 def cmd_list(args) -> None:
     from vae_mdl_tpu.models.zoo import MODELS, _DATASETS
 
@@ -351,6 +391,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp_sample.add_argument("--ckpt", default="best",
                            choices=["best", "latest"])
     sp_sample.set_defaults(fn=cmd_sample)
+
+    sp_export = sub.add_parser(
+        "export", help="AOT-export for serving (StableHLO, weights baked in)")
+    common(sp_export)
+    sp_export.add_argument("--what", default="sampler",
+                           choices=["sampler", "reconstructor", "encoder"])
+    sp_export.add_argument("--n", type=int, default=64,
+                           help="sample count (sampler) / batch size "
+                                "(reconstructor, encoder)")
+    sp_export.add_argument("--out", default=None,
+                           help="output path (.stablehlo)")
+    sp_export.add_argument("--ckpt", default="best",
+                           choices=["best", "latest"])
+    sp_export.add_argument("--platforms", default=None,
+                           help="comma-separated lowering targets, e.g. "
+                                "'tpu,cpu' (default: this process's "
+                                "backend)")
+    sp_export.set_defaults(fn=cmd_export)
 
     sp_list = sub.add_parser("list", help="list model configs")
     sp_list.set_defaults(fn=cmd_list)
