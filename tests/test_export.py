@@ -103,6 +103,17 @@ def test_cli_export(tmp_path, monkeypatch, capsys):
     assert imgs.shape == (4, 28, 28, 1) and imgs.dtype == np.uint8
 
 
+def test_multiplatform_export_runs_on_cpu(tmp_path):
+    """platforms=('tpu','cpu') produces ONE artifact servable on either
+    backend — here exported and executed on the CPU side."""
+    cfg, model, params = _tiny_model01()
+    path = str(tmp_path / "multi.stablehlo")
+    export_sampler(model, cfg.model, params, n=2, path=path,
+                   platforms=("tpu", "cpu"))
+    imgs = np.asarray(load_exported(path)(jax.random.PRNGKey(0)))
+    assert imgs.shape == (2, 28, 28, 1) and imgs.dtype == np.uint8
+
+
 def test_export_hierarchical_family(tmp_path):
     """The ladder's generate() path exports too (multi-layer ancestral
     sampling under jax.export's tracing)."""
