@@ -114,6 +114,31 @@ def test_multiplatform_export_runs_on_cpu(tmp_path):
     assert imgs.shape == (2, 28, 28, 1) and imgs.dtype == np.uint8
 
 
+def test_sharded_serving_export(tmp_path):
+    """Multi-device serving: an encoder exported with a mesh embeds the
+    batch-on-'data' GSPMD layout (artifact records the device count); a
+    process with the same topology runs it sharded and matches the
+    single-device result."""
+    from vae_mdl_tpu.config import MeshConfig
+    from vae_mdl_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    cfg, model, params = _tiny_model01()
+    mesh = make_mesh(MeshConfig(data=4, sample=2))
+    x = jnp.asarray(
+        np.random.default_rng(1).random((8, 28, 28, 1)), jnp.float32)
+    key = jax.random.PRNGKey(11)
+
+    path = str(tmp_path / "enc_sharded.stablehlo")
+    export_encoder(model, cfg.model, params, x.shape, path=path, mesh=mesh)
+
+    serve = load_exported(path)
+    x_sharded = jax.device_put(x, batch_sharding(mesh))
+    got = serve(key, x_sharded)
+    want = make_encoder_fn(model)(params, key, x)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_export_hierarchical_family(tmp_path):
     """The ladder's generate() path exports too (multi-layer ancestral
     sampling under jax.export's tracing)."""

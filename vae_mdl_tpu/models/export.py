@@ -38,12 +38,19 @@ def export_callable(
     example_args: Sequence,
     path: Optional[str] = None,
     platforms: Optional[Sequence[str]] = None,
+    in_shardings=None,
 ) -> bytes:
     """Serialize ``jax.jit(fn)`` at the example arguments' shapes/dtypes.
 
     ``fn`` must close over everything it needs (weights included) — the
     returned bytes are the whole deployable unit. Writes to ``path`` when
     given; always returns the serialized bytes.
+
+    ``in_shardings`` (optional, same pytree as the args) embeds a
+    multi-device serving layout: the artifact then records the device
+    count and GSPMD partitioning, and a serving process with the same
+    topology runs it sharded (inputs laid out per the recorded shardings,
+    collectives compiled in). Single-device serving stays the default.
     """
     specs = tuple(
         jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a))
@@ -52,7 +59,10 @@ def export_callable(
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    exported = jax_export.export(jax.jit(fn), **kwargs)(*specs)
+    jit_kwargs = {}
+    if in_shardings is not None:
+        jit_kwargs["in_shardings"] = in_shardings
+    exported = jax_export.export(jax.jit(fn, **jit_kwargs), **kwargs)(*specs)
     blob = bytes(exported.serialize())
     if path is not None:
         with open(path, "wb") as f:
@@ -88,10 +98,24 @@ def export_sampler(model, config, params, n: int,
     return export_callable(fn, (jax.random.PRNGKey(0),), path, platforms)
 
 
+def _batch_shardings(mesh):
+    """(replicated key, batch-on-'data' images) — the serving layout for a
+    framework mesh (parallel/mesh.py axis names)."""
+    if mesh is None:
+        return None
+    from vae_mdl_tpu.parallel.mesh import batch_sharding, replicated
+
+    return (replicated(mesh), batch_sharding(mesh))
+
+
 def export_reconstructor(model, config, params, image_shape,
                          path: Optional[str] = None,
-                         platforms: Optional[Sequence[str]] = None) -> bytes:
-    """Posterior-mean reconstruction: ``f(key, x01[B,H,W,C]) -> float``."""
+                         platforms: Optional[Sequence[str]] = None,
+                         mesh=None) -> bytes:
+    """Posterior-mean reconstruction: ``f(key, x01[B,H,W,C]) -> float``.
+
+    With ``mesh``, the artifact embeds a batch-sharded (data-parallel)
+    serving layout over the mesh's 'data' axis."""
     from vae_mdl_tpu.models.inference import make_reconstructor
 
     recon = make_reconstructor(model, config)
@@ -100,13 +124,17 @@ def export_reconstructor(model, config, params, image_shape,
         return recon(params, key, x01)
 
     x = jnp.zeros(image_shape, jnp.float32)
-    return export_callable(fn, (jax.random.PRNGKey(0), x), path, platforms)
+    return export_callable(fn, (jax.random.PRNGKey(0), x), path, platforms,
+                           in_shardings=_batch_shardings(mesh))
 
 
 def export_encoder(model, config, params, image_shape,
                    path: Optional[str] = None,
-                   platforms: Optional[Sequence[str]] = None) -> bytes:
-    """Amortized posterior means: ``f(key, x01) -> tuple of latents``."""
+                   platforms: Optional[Sequence[str]] = None,
+                   mesh=None) -> bytes:
+    """Amortized posterior means: ``f(key, x01) -> tuple of latents``.
+
+    With ``mesh``, the batch axis is sharded over the mesh's 'data' axis."""
     from vae_mdl_tpu.models.inference import make_encoder_fn
 
     encode = make_encoder_fn(model)
@@ -115,4 +143,5 @@ def export_encoder(model, config, params, image_shape,
         return encode(params, key, x01)
 
     x = jnp.zeros(image_shape, jnp.float32)
-    return export_callable(fn, (jax.random.PRNGKey(0), x), path, platforms)
+    return export_callable(fn, (jax.random.PRNGKey(0), x), path, platforms,
+                           in_shardings=_batch_shardings(mesh))
