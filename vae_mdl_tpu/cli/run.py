@@ -208,14 +208,7 @@ def cmd_eval(args) -> None:
     cfg = _apply_overrides(experiment(args.model), args)
     mesh = _make_mesh_or_none(args.mesh, cfg.mesh)
     trainer = Trainer(cfg, mesh=mesh)
-    if args.from_reference:
-        _import_reference(trainer, cfg, args.from_reference, "eval")
-    elif trainer.ckpt.has(args.ckpt):
-        trainer.state = trainer.ckpt.restore(trainer.state, args.ckpt)
-        print(f"[eval] loaded '{args.ckpt}' at step {int(trainer.state.step)}")
-        _warn_dropped_ema(trainer, cfg, args.ckpt, "eval")
-    else:
-        print(f"[eval] WARNING: no '{args.ckpt}' checkpoint; evaluating init")
+    _restore_weights(trainer, cfg, args, "eval")
 
     from vae_mdl_tpu.evaluation import evaluate_llh
 
@@ -228,6 +221,21 @@ def cmd_eval(args) -> None:
     )
     print(f"[eval] {n_samples}-IS test LLH: {mean_llh:.2f} nats, "
           f"bpd: {metrics['bpd']:.4f}")
+
+
+def _restore_weights(trainer, cfg, args, what: str) -> None:
+    """Shared eval/sample/export preamble: a --from-reference import beats
+    the Orbax restore; either way say which weights are in play."""
+    if args.from_reference:
+        _import_reference(trainer, cfg, args.from_reference, what)
+    elif trainer.ckpt.has(args.ckpt):
+        trainer.state = trainer.ckpt.restore(trainer.state, args.ckpt)
+        print(f"[{what}] loaded '{args.ckpt}' at step "
+              f"{int(trainer.state.step)}")
+        _warn_dropped_ema(trainer, cfg, args.ckpt, what)
+    else:
+        print(f"[{what}] WARNING: no '{args.ckpt}' checkpoint; "
+              "using INIT weights")
 
 
 def _warn_dropped_ema(trainer, cfg, tag: str, what: str) -> None:
@@ -257,11 +265,7 @@ def cmd_sample(args) -> None:
     init_distributed()
     cfg = _apply_overrides(experiment(args.model), args)
     trainer = Trainer(cfg, mesh=_make_mesh_or_none(args.mesh, cfg.mesh))
-    if args.from_reference:
-        _import_reference(trainer, cfg, args.from_reference, "sample")
-    elif trainer.ckpt.has(args.ckpt):
-        trainer.state = trainer.ckpt.restore(trainer.state, args.ckpt)
-        _warn_dropped_ema(trainer, cfg, args.ckpt, "sample")
+    _restore_weights(trainer, cfg, args, "sample")
     sampler = make_sampler(trainer.model, cfg.model)
     from vae_mdl_tpu.train.state import eval_params
 
@@ -276,40 +280,39 @@ def cmd_sample(args) -> None:
 def cmd_export(args) -> None:
     """AOT-export a trained model for serving (jax.export / StableHLO):
     weights baked in, loadable with only jax (models/export.py)."""
-    import numpy as np
-
     from vae_mdl_tpu.models import export as mexport
     from vae_mdl_tpu.models.zoo import experiment
     from vae_mdl_tpu.train.state import eval_params
     from vae_mdl_tpu.train.trainer import Trainer
 
     cfg = _apply_overrides(experiment(args.model), args)
+    # an EXPLICIT --mesh embeds the multi-device serving layout in the
+    # artifact; the default stays a single-device export regardless of how
+    # many chips the exporting host has
+    mesh = (_make_mesh_or_none(args.mesh, cfg.mesh)
+            if args.mesh and args.mesh != "none" else None)
     trainer = Trainer(cfg, mesh=None)
-    if args.from_reference:
-        _import_reference(trainer, cfg, args.from_reference, "export")
-    elif trainer.ckpt.has(args.ckpt):
-        trainer.state = trainer.ckpt.restore(trainer.state, args.ckpt)
-        _warn_dropped_ema(trainer, cfg, args.ckpt, "export")
-    else:
-        print(f"[export] WARNING: no '{args.ckpt}' checkpoint; "
-              "exporting INIT weights")
+    _restore_weights(trainer, cfg, args, "export")
     params = eval_params(cfg.train, trainer.state)
 
-    platforms = args.platforms.split(",") if args.platforms else None
+    platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]
+                 if args.platforms else None)
     out = args.out or f"./assets/{cfg.model.name}_{args.what}.stablehlo"
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     if args.what == "sampler":
         blob = mexport.export_sampler(trainer.model, cfg.model, params,
                                       n=args.n, path=out,
-                                      platforms=platforms)
+                                      platforms=platforms, mesh=mesh)
     else:
-        shape = (args.n,) + np.asarray(next(trainer.val_iter)).shape[1:]
+        shape = (args.n,) + tuple(cfg.model.image_shape)
         fn = (mexport.export_reconstructor if args.what == "reconstructor"
               else mexport.export_encoder)
         blob = fn(trainer.model, cfg.model, params, shape, path=out,
-                  platforms=platforms)
+                  platforms=platforms, mesh=mesh)
     print(f"[export] wrote {args.what} ({len(blob)} bytes, "
-          f"platforms={platforms or 'native'}) to {out}")
+          f"platforms={platforms or 'native'}, "
+          f"layout={'sharded ' + str(tuple(mesh.shape.values())) if mesh else 'single-device'}) "
+          f"to {out}")
 
 
 def cmd_list(args) -> None:

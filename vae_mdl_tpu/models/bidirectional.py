@@ -28,8 +28,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vae_mdl_tpu.distributions import DistributionTuple, Normal
-from vae_mdl_tpu.nn.blocks import (  # noqa: F401
-    _gelu as blocks_gelu,
+from vae_mdl_tpu.nn.blocks import (
+    gelu,
     _KERNEL_INIT,
     DecoderBlock,
     EncoderBlock,
@@ -133,7 +133,7 @@ class BiLadderVAE(nn.Module):
     # -- bottom-up deterministic path ---------------------------------------
 
     def _features(self, x: jax.Array):
-        h = blocks_gelu(self.stem(x.astype(self._dtype)))
+        h = gelu(self.stem(x.astype(self._dtype)))
         hs = []
         for block in self.enc_blocks:
             h = block(h)

@@ -39,6 +39,7 @@ def export_callable(
     path: Optional[str] = None,
     platforms: Optional[Sequence[str]] = None,
     in_shardings=None,
+    out_shardings=None,
 ) -> bytes:
     """Serialize ``jax.jit(fn)`` at the example arguments' shapes/dtypes.
 
@@ -62,6 +63,8 @@ def export_callable(
     jit_kwargs = {}
     if in_shardings is not None:
         jit_kwargs["in_shardings"] = in_shardings
+    if out_shardings is not None:
+        jit_kwargs["out_shardings"] = out_shardings
     exported = jax_export.export(jax.jit(fn, **jit_kwargs), **kwargs)(*specs)
     blob = bytes(exported.serialize())
     if path is not None:
@@ -73,11 +76,14 @@ def export_callable(
 def load_exported(path_or_bytes) -> Callable:
     """Deserialize an exported artifact into a callable.
 
-    Accepts a filesystem path or the raw bytes. The callable takes exactly
-    the arguments the export was traced with (weights are baked in).
+    Accepts a filesystem path (str or PathLike) or the raw bytes. The
+    callable takes exactly the arguments the export was traced with
+    (weights are baked in).
     """
+    import os
+
     blob = path_or_bytes
-    if isinstance(path_or_bytes, str):
+    if isinstance(path_or_bytes, (str, os.PathLike)):
         with open(path_or_bytes, "rb") as f:
             blob = f.read()
     exported = jax_export.deserialize(bytearray(blob))
@@ -86,8 +92,12 @@ def load_exported(path_or_bytes) -> Callable:
 
 def export_sampler(model, config, params, n: int,
                    path: Optional[str] = None,
-                   platforms: Optional[Sequence[str]] = None) -> bytes:
-    """Prior sampler with weights baked in: ``f(key) -> uint8 [n,H,W,C]``."""
+                   platforms: Optional[Sequence[str]] = None,
+                   mesh=None) -> bytes:
+    """Prior sampler with weights baked in: ``f(key) -> uint8 [n,H,W,C]``.
+
+    With ``mesh``, the output (and hence, by GSPMD propagation, the whole
+    generation) is sharded n-on-'data' over the mesh."""
     from vae_mdl_tpu.models.inference import make_sampler
 
     sampler = make_sampler(model, config)
@@ -95,7 +105,13 @@ def export_sampler(model, config, params, n: int,
     def fn(key):
         return sampler(params, key, n)
 
-    return export_callable(fn, (jax.random.PRNGKey(0),), path, platforms)
+    out_shardings = None
+    if mesh is not None:
+        from vae_mdl_tpu.parallel.mesh import batch_sharding
+
+        out_shardings = batch_sharding(mesh)
+    return export_callable(fn, (jax.random.PRNGKey(0),), path, platforms,
+                           out_shardings=out_shardings)
 
 
 def _batch_shardings(mesh):

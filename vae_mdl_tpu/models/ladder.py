@@ -24,13 +24,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vae_mdl_tpu.distributions import DistributionTuple, Normal
-from vae_mdl_tpu.nn.blocks import (  # noqa: F401
-    _gelu as blocks_gelu,
+from vae_mdl_tpu.nn.blocks import (
     _KERNEL_INIT,
     DecoderBlock,
     EncoderBlock,
     StochasticDecoderBlock,
     StochasticEncoderBlock,
+    gelu,
 )
 from vae_mdl_tpu.nn.decoders import head_channels, make_observation
 
@@ -105,7 +105,7 @@ class ConvLadderVAE(nn.Module):
     # ------------------------------------------------------------- inference
 
     def encode(self, x: jax.Array, n_samples: int = 1):
-        h = blocks_gelu(self.stem(x.astype(self._dtype)))
+        h = gelu(self.stem(x.astype(self._dtype)))
         Qs = []
         z = h
         for i, block in enumerate(self.enc_blocks):

@@ -37,7 +37,7 @@ Dtype = Any
 _KERNEL_INIT = nn.initializers.glorot_uniform()
 
 
-def _gelu(x: jax.Array) -> jax.Array:
+def gelu(x: jax.Array) -> jax.Array:
     """EXACT gelu (erf form). The reference's tf.nn.gelu defaults to
     approximate=False while jax.nn.gelu defaults to the tanh approximation
     — a silent numerics drift a round-3 weight-import test caught; every
@@ -48,7 +48,7 @@ def _gelu(x: jax.Array) -> jax.Array:
 def _activation(name: str) -> Callable[[jax.Array], jax.Array]:
     return {
         "relu": nn.relu,
-        "gelu": _gelu,
+        "gelu": gelu,
         "tanh": jnp.tanh,
         "none": lambda x: x,
     }[name]
@@ -141,7 +141,7 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         def conv(feats, ksize, h):
-            return _gelu(
+            return gelu(
                 nn.Conv(feats, (ksize, ksize), padding="SAME", dtype=self.dtype,
                         kernel_init=_KERNEL_INIT)(h)
             )
@@ -205,7 +205,7 @@ class StochasticEncoderBlock(nn.Module):
     def __call__(self, x: jax.Array) -> Normal:
         h = EncoderBlock(self.hidden_width, self.out_width, self.n_blocks,
                          self.downscale_rate, self.rezero, self.dtype)(x)
-        h = _gelu(
+        h = gelu(
             nn.Conv(2 * self.out_width, (3, 3), padding="SAME", dtype=jnp.float32,
                     kernel_init=_KERNEL_INIT)(h.astype(jnp.float32))
         )
@@ -257,7 +257,7 @@ class StochasticDecoderBlock(nn.Module):
     def __call__(self, x: jax.Array) -> Normal:
         h = DecoderBlock(self.hidden_width, self.out_width, self.n_blocks,
                          self.upscale_rate, self.rezero, self.dtype)(x)
-        h = _gelu(
+        h = gelu(
             nn.Conv(2 * self.out_width, (3, 3), padding="SAME", dtype=jnp.float32,
                     kernel_init=_KERNEL_INIT)(h.astype(jnp.float32))
         )
