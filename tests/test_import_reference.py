@@ -450,6 +450,42 @@ def test_cli_eval_from_reference(tmp_path, monkeypatch, capsys):
     assert "test LLH" in out and "WARNING" not in out
 
 
+def test_cli_convert_then_eval_without_tf(tmp_path, monkeypatch, capsys):
+    """``convert`` writes a native Orbax checkpoint from the reference file;
+    the subsequent eval restores it through the normal (TF-free) path."""
+    from vae_mdl_tpu.cli.run import main
+
+    ref = _Ref01()
+    ref(tf.constant(np.zeros((1, 28, 28, 1), np.float32)))
+    prefix = str(tmp_path / "ref" / "best")
+    blk = ref.encoder.encode_x_to_z
+    seq = ref.decoder.decode_z_to_x.layers
+    _write_ref_ckpt(prefix, {
+        "encoder/encode_x_to_z/l1": blk.l1,
+        "encoder/encode_x_to_z/l2": blk.l2,
+        "encoder/encode_x_to_z/lmu": blk.lmu,
+        "encoder/encode_x_to_z/lstd": blk.lstd,
+        "decoder/decode_z_to_x/layer_with_weights-0": seq[0],
+        "decoder/decode_z_to_x/layer_with_weights-1": seq[1],
+        "decoder/decode_z_to_x/layer_with_weights-2": seq[2],
+    })
+
+    monkeypatch.chdir(tmp_path)
+    common = [
+        "--dataset", "synthetic:mnist", "--batch-size", "8",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--log-dir", str(tmp_path / "tb"), "--mesh", "none",
+    ]
+    main(["convert", "model01", "--from-reference", prefix, "--tag", "best"]
+         + common)
+    out = capsys.readouterr().out
+    assert "imported reference weights" in out and "saved Orbax" in out
+
+    main(["eval", "model01", "--n-samples", "4"] + common)
+    out = capsys.readouterr().out
+    assert "loaded 'best'" in out and "test LLH" in out
+
+
 def test_unsupported_families_raise(tmp_path):
     model, params = _init_params(MODEL01, jnp.zeros((1, 28, 28, 1)))
     with pytest.raises(NotImplementedError, match="ladder"):

@@ -315,6 +315,25 @@ def cmd_export(args) -> None:
           f"to {out}")
 
 
+def cmd_convert(args) -> None:
+    """One-shot migration: reference Keras checkpoint -> native Orbax
+    checkpoint. After this, eval/sample/train resume from the converted
+    checkpoint WITHOUT TensorFlow installed (TF is only needed here, to
+    read the TF-format file)."""
+    from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.train.trainer import Trainer
+
+    if not args.from_reference:
+        raise SystemExit("convert requires --from-reference CKPT_PREFIX")
+    cfg = _apply_overrides(experiment(args.model), args)
+    trainer = Trainer(cfg, mesh=None)
+    _import_reference(trainer, cfg, args.from_reference, "convert")
+    trainer.ckpt.save(trainer.state, args.tag)
+    trainer.ckpt.wait()
+    print(f"[convert] saved Orbax '{args.tag}' checkpoint (step 0) under "
+          f"{cfg.train.checkpoint_dir}/{cfg.model.name}")
+
+
 def cmd_list(args) -> None:
     from vae_mdl_tpu.models.zoo import MODELS, _DATASETS
 
@@ -412,6 +431,15 @@ def build_parser() -> argparse.ArgumentParser:
                                 "'tpu,cpu' (default: this process's "
                                 "backend)")
     sp_export.set_defaults(fn=cmd_export)
+
+    sp_convert = sub.add_parser(
+        "convert", help="reference Keras checkpoint -> native Orbax "
+                        "checkpoint (one-shot; --from-reference required)")
+    common(sp_convert)
+    sp_convert.add_argument("--tag", default="best",
+                            choices=["best", "latest"],
+                            help="tag for the converted checkpoint")
+    sp_convert.set_defaults(fn=cmd_convert)
 
     sp_list = sub.add_parser("list", help="list model configs")
     sp_list.set_defaults(fn=cmd_list)
