@@ -486,6 +486,35 @@ def test_cli_convert_then_eval_without_tf(tmp_path, monkeypatch, capsys):
     assert "loaded 'best'" in out and "test LLH" in out
 
 
+@pytest.mark.parametrize("name,shape", [
+    ("model05", (2, 32, 32, 3)),   # deconv transform both ways
+    ("model06", (2, 32, 32, 3)),   # + second-layer MLP blocks
+    ("model04", (2, 32, 32, 3)),   # + nested GLU graphs
+    ("model01", (2, 28, 28, 1)),
+])
+def test_save_then_load_roundtrips(tmp_path, name, shape):
+    """save_reference_weights -> load_reference_weights is the identity:
+    pins the writer to the import's key layout and the deconv transform's
+    involution property, for every supported family."""
+    from vae_mdl_tpu.models.zoo import MODELS
+    from vae_mdl_tpu.utils.import_reference import save_reference_weights
+
+    model, params = _init_params(MODELS[name], jnp.zeros(shape, jnp.float32))
+    prefix = str(tmp_path / "roundtrip")
+    save_reference_weights(prefix, name, params)
+
+    # load into a DIFFERENTLY-initialised template: only a correct
+    # key-for-key read can reproduce the original tree
+    other = build_model(MODELS[name]).init(
+        {"params": jax.random.PRNGKey(7), "sample": jax.random.PRNGKey(8)},
+        jnp.zeros(shape, jnp.float32), 1)
+    got = load_reference_weights(prefix, name, other)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        got, params)
+
+
 def test_unsupported_families_raise(tmp_path):
     model, params = _init_params(MODEL01, jnp.zeros((1, 28, 28, 1)))
     with pytest.raises(NotImplementedError, match="ladder"):

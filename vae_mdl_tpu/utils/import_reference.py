@@ -1,12 +1,16 @@
-"""Import trained weights from the reference's Keras checkpoints.
+"""Reference-checkpoint interop: import AND export Keras weights.
 
 The reference trains with ``tf.keras`` ``save_weights`` (TF object-based
 checkpoints, models/model01.py:263-264 ``save``/``load``). A user migrating
-from nbip/vae-mdl can bring their trained models along:
+from nbip/vae-mdl can bring their trained models along — and take models
+trained here back:
 
-    from vae_mdl_tpu.utils.import_reference import load_reference_weights
+    from vae_mdl_tpu.utils.import_reference import (
+        load_reference_weights, save_reference_weights)
     params = load_reference_weights("saved_models/model01/best",
                                     "model01", params_template)
+    save_reference_weights("saved_models/model01/exported", "model01",
+                           trained_params)
 
 Supported families and their reference object graphs (checkpoint keys are
 the attribute paths):
@@ -129,10 +133,28 @@ def _model04_map() -> Dict[Tuple[str, ...], Tuple[str, str]]:
 def _transform_kernel(kind: str, arr: np.ndarray) -> np.ndarray:
     if kind == "deconv":
         # Keras [kh,kw,out,in] -> flax [kh,kw,in,out], plus the spatial
-        # mirror TF's conv2d_transpose implies (module docstring)
+        # mirror TF's conv2d_transpose implies (module docstring). The
+        # transpose swaps the two axes the flips don't touch, so this
+        # transform is an involution — it converts BOTH directions.
         return np.ascontiguousarray(
             np.transpose(arr, (0, 1, 3, 2))[::-1, ::-1])
     return arr
+
+
+def _mapping_for(model_name: str, params) -> Dict[Tuple[str, ...],
+                                                  Tuple[str, str]]:
+    if model_name == "model01":
+        return _model01_map()
+    if model_name in ("model02", "model03", "model05"):
+        return _conv_family_map(params)
+    if model_name == "model04":
+        return _model04_map()
+    if model_name == "model06":
+        return _model06_map(params)
+    raise NotImplementedError(
+        f"no reference weight mapping for {model_name!r}: supported "
+        "families are model01-model06 (ladders/digits are this repo's "
+        "own additions with no reference checkpoints to import)")
 
 
 def load_reference_weights(ckpt_prefix: str, model_name: str, params):
@@ -144,19 +166,7 @@ def load_reference_weights(ckpt_prefix: str, model_name: str, params):
     Unknown families, missing checkpoint keys and shape mismatches raise
     with actionable messages.
     """
-    if model_name == "model01":
-        mapping = _model01_map()
-    elif model_name in ("model02", "model03", "model05"):
-        mapping = _conv_family_map(params)
-    elif model_name == "model04":
-        mapping = _model04_map()
-    elif model_name == "model06":
-        mapping = _model06_map(params)
-    else:
-        raise NotImplementedError(
-            f"no reference weight mapping for {model_name!r}: supported "
-            "families are model01-model06 (ladders/digits are this repo's "
-            "own additions with no reference checkpoints to import)")
+    mapping = _mapping_for(model_name, params)
 
     try:
         from tensorflow.python.training import py_checkpoint_reader
@@ -203,3 +213,55 @@ def load_reference_weights(ckpt_prefix: str, model_name: str, params):
         return updates.get(p, leaf)
 
     return jax.tree_util.tree_map_with_path(replace, params)
+
+
+def save_reference_weights(ckpt_prefix: str, model_name: str,
+                           params) -> None:
+    """The reverse direction: write a params pytree as a reference-layout
+    Keras TF-format checkpoint (the object-graph key layout ``model.save``
+    produces, models/model01.py:263-264) — so a model trained HERE can be
+    loaded back by the reference's tooling, or round-tripped as a format
+    check. Same family coverage and kernel transforms as the import (the
+    deconv transform is an involution, so one function serves both ways).
+    Needs tensorflow at call time, like the import.
+    """
+    mapping = _mapping_for(model_name, params)
+    try:
+        import tensorflow as tf
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "writing reference checkpoints needs tensorflow "
+            "(pip install tensorflow-cpu)") from e
+
+    leaves = {
+        tuple(getattr(k, "key", getattr(k, "name", str(k))) for k in path):
+            leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+
+    class _Node(tf.Module):
+        pass
+
+    roots: Dict[str, "_Node"] = {}
+    for flax_path, (ref_base, kind) in mapping.items():
+        obj = None
+        for part in ref_base.split("/"):
+            if obj is None:
+                obj = roots.setdefault(part, _Node())
+                continue
+            nxt = getattr(obj, part, None)
+            if nxt is None:
+                nxt = _Node()
+                setattr(obj, part, nxt)
+            obj = nxt
+        for pname in ("kernel", "bias"):
+            full_flax = ("params",) + flax_path + (pname,)
+            if full_flax not in leaves:
+                raise KeyError(
+                    f"params template has no leaf {full_flax} — wrong "
+                    f"model config for {model_name!r}?")
+            arr = np.asarray(leaves[full_flax], np.float32)
+            if pname == "kernel":
+                arr = _transform_kernel(kind, arr)
+            setattr(obj, pname, tf.Variable(arr))
+    tf.train.Checkpoint(**roots).write(ckpt_prefix)
