@@ -59,4 +59,17 @@ def __getattr__(name):
         from vae_mdl_tpu.evaluation import evaluate_llh
 
         return evaluate_llh
+    if name in ("make_sampler", "make_reconstructor", "make_encoder_fn"):
+        import vae_mdl_tpu.models.inference as inf
+
+        return getattr(inf, name)
+    if name in ("export_sampler", "export_reconstructor", "export_encoder",
+                "export_callable", "load_exported"):
+        import vae_mdl_tpu.models.export as ex
+
+        return getattr(ex, name)
+    if name in ("load_reference_weights", "save_reference_weights"):
+        import vae_mdl_tpu.utils.import_reference as ir
+
+        return getattr(ir, name)
     raise AttributeError(f"module 'vae_mdl_tpu' has no attribute {name!r}")
