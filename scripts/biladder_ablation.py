@@ -151,6 +151,27 @@ def main(argv):
     want = set(argv) or {
         "full", "nearest", "manual2x", "f32", "k1", "fwd_only", "remat"}
 
+    if "tanhgelu" in want:
+        # cost of the round-3 exact-gelu parity fix: erf vs tanh-approx
+        # gelu in every ResidualBlock/stochastic head of the ladder
+        import flax.linen as fnn
+
+        import vae_mdl_tpu.models.bidirectional as bid
+        import vae_mdl_tpu.models.ladder as lad
+        import vae_mdl_tpu.nn.blocks as blocks
+
+        real_gelu = blocks.gelu
+        tanh_gelu = lambda x: fnn.gelu(x, approximate=True)  # noqa: E731
+        # patch the module global AND the by-value imports in the ladders
+        blocks.gelu = bid.gelu = lad.gelu = tanh_gelu
+        try:
+            step, state = build(_cfg())
+            out["tanhgelu"] = round(time_step(step, state, batch), 3)
+        finally:
+            blocks.gelu = bid.gelu = lad.gelu = real_gelu
+        print(f"{'tanhgelu':10s} {out['tanhgelu']:8.3f} ms/step  "
+              f"{BATCH / out['tanhgelu'] * 1e3:8.0f} imgs/s", flush=True)
+
     def run(name, cfg, resize=None):
         if name not in want:
             return
