@@ -14,6 +14,9 @@ The 64x64 bidirectional ladder sits at 25.2% MFU (bf16 body) vs model05's
                jax.image.resize bilinear, no gather/einsum lowering)
   k1         — one importance sample instead of 5
   fwd_only   — value only, no backward/optimizer
+  tanhgelu   — tanh-approximate gelu everywhere (pre-round-3 behavior;
+               NOT parity: the reference's tf.nn.gelu is exact) —
+               measures the exact-gelu surcharge
 
 Run SOLO on the TPU: python scripts/biladder_ablation.py
 """
@@ -149,7 +152,8 @@ def main(argv):
         rng.integers(0, 256, (SPC, BATCH) + SHAPE, dtype=np.uint8))
     out = {}
     want = set(argv) or {
-        "full", "nearest", "manual2x", "f32", "k1", "fwd_only", "remat"}
+        "full", "nearest", "manual2x", "f32", "k1", "fwd_only", "remat",
+        "tanhgelu"}
 
     if "tanhgelu" in want:
         # cost of the round-3 exact-gelu parity fix: erf vs tanh-approx

@@ -234,8 +234,12 @@ def _restore_weights(trainer, cfg, args, what: str) -> None:
               f"{int(trainer.state.step)}")
         _warn_dropped_ema(trainer, cfg, args.ckpt, what)
     else:
-        print(f"[{what}] WARNING: no '{args.ckpt}' checkpoint; "
-              "using INIT weights")
+        # Trainer.__init__ auto-resumes 'latest' when it exists (resume
+        # defaults True) — report what is actually in the state
+        step = int(trainer.state.step)
+        have = (f"auto-resumed 'latest' at step {step}" if step > 0
+                else "INIT weights")
+        print(f"[{what}] WARNING: no '{args.ckpt}' checkpoint; using {have}")
 
 
 def _warn_dropped_ema(trainer, cfg, tag: str, what: str) -> None:
@@ -326,7 +330,16 @@ def cmd_convert(args) -> None:
     if not args.from_reference:
         raise SystemExit("convert requires --from-reference CKPT_PREFIX")
     cfg = _apply_overrides(experiment(args.model), args)
+    # a conversion is always a FRESH step-0 state: never auto-resume into
+    # it, and never clobber an existing trained checkpoint at the tag
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, resume=False))
     trainer = Trainer(cfg, mesh=None)
+    if trainer.ckpt.has(args.tag):
+        raise SystemExit(
+            f"convert refuses to overwrite the existing '{args.tag}' "
+            f"checkpoint under {cfg.train.checkpoint_dir}/{cfg.model.name}; "
+            "pass a fresh --checkpoint-dir (or the other --tag)")
     _import_reference(trainer, cfg, args.from_reference, "convert")
     trainer.ckpt.save(trainer.state, args.tag)
     trainer.ckpt.wait()

@@ -50,6 +50,15 @@ import numpy as np
 _SUFFIX = "/.ATTRIBUTES/VARIABLE_VALUE"
 
 
+def _leaves_by_path(params):
+    """Index a pytree's leaves by their stringified key path."""
+    return {
+        tuple(getattr(k, "key", getattr(k, "name", str(k))) for k in path):
+            leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+
+
 def _model01_map() -> Dict[Tuple[str, ...], Tuple[str, str]]:
     enc = "encoder/encode_x_to_z"
     dec = "decoder/decode_z_to_x"
@@ -178,11 +187,7 @@ def load_reference_weights(ckpt_prefix: str, model_name: str, params):
 
     available = set(reader.get_variable_to_shape_map())
     # index template leaves by their string path for lookup
-    leaves = {
-        tuple(getattr(k, "key", getattr(k, "name", str(k))) for k in path):
-            leaf
-        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
-    }
+    leaves = _leaves_by_path(params)
 
     updates = {}
     for flax_path, (ref_base, kind) in mapping.items():
@@ -233,11 +238,7 @@ def save_reference_weights(ckpt_prefix: str, model_name: str,
             "writing reference checkpoints needs tensorflow "
             "(pip install tensorflow-cpu)") from e
 
-    leaves = {
-        tuple(getattr(k, "key", getattr(k, "name", str(k))) for k in path):
-            leaf
-        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
-    }
+    leaves = _leaves_by_path(params)
 
     class _Node(tf.Module):
         pass
