@@ -97,10 +97,23 @@ def test_cli_export(tmp_path, monkeypatch, capsys):
         "--out", str(tmp_path / "m01.stablehlo"),
     ])
     out = capsys.readouterr().out
-    assert "wrote sampler" in out
+    assert "wrote sampler" in out and "single-device" in out
     serve = load_exported(str(tmp_path / "m01.stablehlo"))
     imgs = np.asarray(serve(jax.random.PRNGKey(0)))
     assert imgs.shape == (4, 28, 28, 1) and imgs.dtype == np.uint8
+
+    # explicit --mesh embeds the sharded serving layout (encoder path)
+    main([
+        "export", "model01",
+        "--dataset", "synthetic:mnist",
+        "--batch-size", "8", "--mesh", "4x2",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--log-dir", str(tmp_path / "tb"),
+        "--what", "encoder", "--n", "8",
+        "--out", str(tmp_path / "m01_enc.stablehlo"),
+    ])
+    out = capsys.readouterr().out
+    assert "sharded (4, 2)" in out
 
 
 def test_multiplatform_export_runs_on_cpu(tmp_path):
