@@ -16,6 +16,40 @@ def test_parser_covers_protocol():
     assert args.mesh == "4x2"
 
 
+def test_parser_accepts_registered_models():
+    """Models added via zoo.register_model are runnable from the CLI —
+    the choices list is read off the registry at parse time."""
+    import dataclasses
+
+    from vae_mdl_tpu.models.zoo import (
+        MODELS, _DATASETS, _N_UPDATES, experiment, register_model)
+
+    custom = dataclasses.replace(experiment("model01").model,
+                                 name="custom_parse_check")
+    register_model(custom, dataset="synthetic:mnist")
+    try:
+        args = build_parser().parse_args(["train", "custom_parse_check",
+                                          "--n-updates", "1"])
+        assert args.model == "custom_parse_check"
+    finally:
+        for reg in (MODELS, _DATASETS, _N_UPDATES):
+            reg.pop("custom_parse_check", None)
+
+
+def test_mesh_spec_errors():
+    """Malformed --mesh specs fail with a clear message instead of a
+    traceback (and extra components are rejected, not dropped)."""
+    from vae_mdl_tpu.cli.run import _make_mesh_or_none
+
+    with pytest.raises(SystemExit, match="at most|expected"):
+        _make_mesh_or_none("2x2x2x1")
+    with pytest.raises(SystemExit, match="integers"):
+        _make_mesh_or_none("2xfoo")
+    # trailing 'x' keeps its historical meaning: "8x" == 8x1
+    mesh = _make_mesh_or_none("8x")
+    assert dict(mesh.shape) == {"data": 8, "sample": 1}
+
+
 def test_cli_list(capsys):
     main(["list"])
     out = capsys.readouterr().out

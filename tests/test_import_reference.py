@@ -163,10 +163,9 @@ def _init_params(cfg, x):
         x, 1)
 
 
-def test_model01_roundtrip(tmp_path):
-    rng = np.random.default_rng(0)
-    x = rng.standard_normal((3, 28, 28, 1)).astype(np.float32)
-
+def _model01_ckpt(tmp_path, x) -> str:
+    """Build the Keras mirror on x and write its reference-layout
+    checkpoint; returns (prefix, ref)."""
     ref = _Ref01()
     ref(tf.constant(x))  # build
     prefix = str(tmp_path / "best")
@@ -181,7 +180,14 @@ def test_model01_roundtrip(tmp_path):
         "decoder/decode_z_to_x/layer_with_weights-1": seq[1],
         "decoder/decode_z_to_x/layer_with_weights-2": seq[2],
     })
+    return prefix, ref
 
+
+def test_model01_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 28, 28, 1)).astype(np.float32)
+
+    prefix, ref = _model01_ckpt(tmp_path, x)
     model, params = _init_params(MODEL01, jnp.asarray(x))
     params = load_reference_weights(prefix, "model01", params)
 
@@ -204,6 +210,30 @@ def test_model01_roundtrip(tmp_path):
     logits_tf = ref.decoder(tf.constant(z)).numpy().reshape(3, 28, 28, 1)
     np.testing.assert_allclose(np.asarray(obs.logits), logits_tf,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_load_requires_full_tree():
+    """Passing the inner params tree (without the top-level 'params'
+    collection) fails fast with the contract, before any TF read."""
+    _, params = _init_params(MODEL01, jnp.zeros((1, 28, 28, 1)))
+    with pytest.raises(ValueError, match="full variables tree"):
+        load_reference_weights("/nonexistent", "model01", params["params"])
+
+
+def test_load_rejects_mapping_gaps(tmp_path):
+    """Every template leaf must receive an imported value: a leaf the
+    mapping does not cover (new variant, missed submodule) raises instead
+    of silently staying at its random init."""
+    import flax
+
+    x = np.zeros((1, 28, 28, 1), np.float32)
+    prefix, _ = _model01_ckpt(tmp_path, x)
+    _, params = _init_params(MODEL01, jnp.asarray(x))
+    params = flax.core.unfreeze(params)
+    params["params"]["decoder"]["extra_layer"] = {
+        "kernel": jnp.zeros((4, 4)), "bias": jnp.zeros((4,))}
+    with pytest.raises(KeyError, match="unmapped.*extra_layer"):
+        load_reference_weights(prefix, "model01", params)
 
 
 def test_model05_roundtrip(tmp_path):

@@ -406,3 +406,30 @@ def test_tensor_parallel_layout_matches_single_device():
         assert not leaf.sharding.is_fully_replicated, jax.tree_util.keystr(path)
         spec = leaf.sharding.spec
         assert spec[-1] == "model", (jax.tree_util.keystr(path), spec)
+
+
+def test_tp_sharding_keeps_heads_replicated():
+    """Heads replicate BY PATH, not just by width: model01's 784-wide
+    Bernoulli head and the MLPBlock mu/std heads pass the width test yet
+    must stay replicated (parallel/tensor.py tp_replicated_by_path), while
+    the hidden Dense kernels genuinely channel-shard."""
+    from jax.sharding import PartitionSpec as P
+
+    from vae_mdl_tpu.parallel.tensor import make_tp_mesh, tp_state_sharding
+
+    cfg = experiment("model01")
+    model = build_model(cfg.model)
+    state = create_train_state(model, cfg.train, jnp.zeros((4, 28, 28, 1)),
+                               cfg.model.n_samples)
+    mesh = make_tp_mesh(4, 2)
+    p = tp_state_sharding(state, mesh).params["params"]
+    # likelihood head (Dense 200->784): wide enough to shard, but a head
+    assert p["decoder"]["out"]["kernel"].spec == P()
+    assert p["decoder"]["out"]["bias"].spec == P()
+    # latent mu/std heads (MLPBlock Dense_2/Dense_3, 200->100): same
+    assert p["encoder"]["MLPBlock_0"]["Dense_2"]["kernel"].spec == P()
+    assert p["encoder"]["MLPBlock_0"]["Dense_3"]["kernel"].spec == P()
+    # hidden layers really shard on their output channels
+    assert p["encoder"]["MLPBlock_0"]["Dense_0"]["kernel"].spec == \
+        P(None, "model")
+    assert p["decoder"]["Dense_0"]["kernel"].spec == P(None, "model")

@@ -76,6 +76,24 @@ def test_training_reduces_loss_and_resumes():
     assert restored_loss == pytest.approx(loss_after, rel=1e-5)
 
 
+def test_resume_falls_back_to_best(tmp_path):
+    """A checkpoint dir holding only 'best' — the layout ``cli convert``
+    leaves behind — warm-starts the next run instead of reinitialising
+    (and then clobbering the converted 'best' at the first eval)."""
+    cfg = _tiny_cfg(str(tmp_path))
+    tr = Trainer(cfg)
+    marked = tr.state.replace(step=tr.state.step + 7)
+    tr.ckpt.save(marked, "best")
+    tr.ckpt.wait()
+    assert not tr.ckpt.has("latest")
+
+    restored = tr.ckpt.restore_latest(tr.state)
+    assert restored is not None and int(restored.step) == 7
+    # and the Trainer wiring picks it up end-to-end
+    tr2 = Trainer(cfg)
+    assert int(tr2.state.step) == 7
+
+
 def test_init_output_bias():
     """Decoder bias init from train-mean logits
     (/root/reference/models/model01.py:294-301)."""

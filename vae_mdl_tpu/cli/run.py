@@ -75,10 +75,20 @@ def _make_mesh_or_none(mesh_spec: Optional[str], mesh_cfg=None):
         return make_mesh(mesh_cfg or MeshConfig())
     if mesh_spec == "none":
         return None
-    # "D", "DxS", or "DxSxM" (M>1 = channel tensor parallelism)
-    parts = [int(p) for p in mesh_spec.split("x")]
-    parts += [1] * (3 - len(parts))
-    data, sample, model = parts[:3]
+    # "D", "DxS", or "DxSxM" (M>1 = channel tensor parallelism); empty
+    # components default to 1 ("4x" == 4x1)
+    parts = mesh_spec.split("x")
+    if not 1 <= len(parts) <= 3:
+        raise SystemExit(
+            f"--mesh {mesh_spec!r}: expected D, DxS or DxSxM (e.g. 4, 4x2, "
+            "2x2x2)")
+    try:
+        vals = [int(p) if p else 1 for p in parts]
+    except ValueError:
+        raise SystemExit(
+            f"--mesh {mesh_spec!r}: components must be integers (or 'none')")
+    vals += [1] * (3 - len(vals))
+    data, sample, model = vals
     return make_mesh(MeshConfig(data=data, sample=sample, model=model))
 
 
@@ -234,10 +244,11 @@ def _restore_weights(trainer, cfg, args, what: str) -> None:
               f"{int(trainer.state.step)}")
         _warn_dropped_ema(trainer, cfg, args.ckpt, what)
     else:
-        # Trainer.__init__ auto-resumes 'latest' when it exists (resume
-        # defaults True) — report what is actually in the state
+        # Trainer.__init__ auto-resumes 'latest' (or 'best' as fallback)
+        # when one exists (resume defaults True) — report what is actually
+        # in the state
         step = int(trainer.state.step)
-        have = (f"auto-resumed 'latest' at step {step}" if step > 0
+        have = (f"auto-resumed checkpoint at step {step}" if step > 0
                 else "INIT weights")
         print(f"[{what}] WARNING: no '{args.ckpt}' checkpoint; using {have}")
 
@@ -344,7 +355,9 @@ def cmd_convert(args) -> None:
     trainer.ckpt.save(trainer.state, args.tag)
     trainer.ckpt.wait()
     print(f"[convert] saved Orbax '{args.tag}' checkpoint (step 0) under "
-          f"{cfg.train.checkpoint_dir}/{cfg.model.name}")
+          f"{cfg.train.checkpoint_dir}/{cfg.model.name} — eval/sample read "
+          "it directly; train warm-starts from it (auto-resume falls back "
+          "to 'best' when no 'latest' exists)")
 
 
 def cmd_list(args) -> None:
@@ -358,15 +371,15 @@ def cmd_list(args) -> None:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    # read at parse time so models added via zoo.register_model are
+    # runnable from the CLI (docs/extending.md, examples/custom_model.py)
+    from vae_mdl_tpu.models.zoo import MODELS
+
     p = argparse.ArgumentParser(prog="vae_mdl_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
-        sp.add_argument(
-            "model",
-            choices=[f"model0{i}" for i in range(1, 7)]
-            + ["ladder_svhn", "biladder_svhn", "biladder_celeba", "digits"],
-        )
+        sp.add_argument("model", choices=list(MODELS))
         sp.add_argument("--dataset")
         sp.add_argument("--data-dir")
         sp.add_argument("--batch-size", type=int)

@@ -130,7 +130,15 @@ class Checkpointer:
         return os.path.isdir(self._path(tag))
 
     def restore_latest(self, target: TrainState) -> Optional[TrainState]:
-        """Auto-resume hook: returns the restored state or None."""
+        """Auto-resume hook: returns the restored state or None.
+
+        Falls back to 'best' when no 'latest' exists — the layout a
+        ``cli convert`` leaves behind (a converted reference checkpoint at
+        'best', step 0): training must warm-start from it, not reinitialise
+        and clobber it at the first eval interval."""
         if self.has("latest"):
             return self.restore(target, "latest")
+        if self.has("best"):
+            print("[checkpoint] no 'latest' checkpoint; resuming from 'best'")
+            return self.restore(target, "best")
         return None

@@ -110,11 +110,13 @@ def init_output_bias(state: TrainState, train_mean: jax.Array) -> TrainState:
     p = jnp.clip(jnp.reshape(train_mean, (-1,)), 0.001, 0.999)
     logits = jnp.log(p) - jnp.log1p(-p)
 
+    from vae_mdl_tpu.utils.trees import path_tuple
+
     params = state.params
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     target = None
     for path, leaf in flat:
-        keys = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+        keys = path_tuple(path)
         if "out" in keys and keys[-1] == "bias":
             target = path
             break

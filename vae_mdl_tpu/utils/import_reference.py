@@ -47,16 +47,29 @@ from typing import Dict, Tuple
 import jax
 import numpy as np
 
+from vae_mdl_tpu.utils.trees import path_tuple
+
 _SUFFIX = "/.ATTRIBUTES/VARIABLE_VALUE"
 
 
 def _leaves_by_path(params):
     """Index a pytree's leaves by their stringified key path."""
     return {
-        tuple(getattr(k, "key", getattr(k, "name", str(k))) for k in path):
-            leaf
+        path_tuple(path): leaf
         for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
     }
+
+
+def _require_full_tree(params, fn: str):
+    """Both directions map against the FULL variables tree (the one
+    ``model.init`` / ``TrainState.params`` carries, with the top-level
+    'params' collection) — fail fast with the actual contract instead of a
+    misleading missing-leaf KeyError deeper in."""
+    if not hasattr(params, "keys") or "params" not in params:
+        raise ValueError(
+            f"{fn} expects the full variables tree (with the top-level "
+            "'params' collection), e.g. TrainState.params or model.init(...) "
+            f"— got top-level keys {list(getattr(params, 'keys', list)())!r}")
 
 
 def _model01_map() -> Dict[Tuple[str, ...], Tuple[str, str]]:
@@ -77,7 +90,7 @@ def _conv_family_map(params) -> Dict[Tuple[str, ...], Tuple[str, str]]:
     """model02/03/05: encoder convs + fc, decoder fc + deconvs(+conv head).
     Layer counts are read off the params template so the one table serves
     every head width."""
-    tree = params["params"] if "params" in params else params
+    tree = params["params"]
     n_enc = sum(1 for k in tree["encoder"] if k.startswith("conv_"))
     n_dec = sum(1 for k in tree["decoder"] if k.startswith("conv_"))
     m: Dict[Tuple[str, ...], Tuple[str, str]] = {
@@ -172,9 +185,12 @@ def load_reference_weights(ckpt_prefix: str, model_name: str, params):
     ``params`` is the shape template (from ``model.init`` or
     ``create_train_state(...).params``); the return value is a new pytree
     with every mapped leaf replaced by the imported float32 weight.
-    Unknown families, missing checkpoint keys and shape mismatches raise
-    with actionable messages.
+    Unknown families, missing checkpoint keys, shape mismatches AND mapping
+    gaps raise with actionable messages: every leaf of the template must
+    receive an imported value, so a partial mapping can never silently yield
+    a model mixing trained and randomly-initialised weights.
     """
+    _require_full_tree(params, "load_reference_weights")
     mapping = _mapping_for(model_name, params)
 
     try:
@@ -213,9 +229,18 @@ def load_reference_weights(ckpt_prefix: str, model_name: str, params):
                     f"checkpoint {tuple(arr.shape)} vs template {want}")
             updates[full_flax] = np.asarray(arr, np.float32)
 
+    # template -> mapping completeness: a mapping gap (new family variant,
+    # missed submodule) must be an error, not a random-weight layer
+    unmapped = sorted(p for p in leaves if p not in updates)
+    if unmapped:
+        raise KeyError(
+            f"the {model_name!r} weight mapping covers {len(updates)} of "
+            f"{len(leaves)} template leaves; unmapped: "
+            f"{['/'.join(p) for p in unmapped]} — extend _mapping_for so "
+            "every parameter is imported")
+
     def replace(path, leaf):
-        p = tuple(getattr(k, "key", getattr(k, "name", str(k))) for k in path)
-        return updates.get(p, leaf)
+        return updates.get(path_tuple(path), leaf)
 
     return jax.tree_util.tree_map_with_path(replace, params)
 
@@ -230,6 +255,7 @@ def save_reference_weights(ckpt_prefix: str, model_name: str,
     deconv transform is an involution, so one function serves both ways).
     Needs tensorflow at call time, like the import.
     """
+    _require_full_tree(params, "save_reference_weights")
     mapping = _mapping_for(model_name, params)
     try:
         import tensorflow as tf
