@@ -34,14 +34,21 @@ _PROTOS = np.array(
 )[..., None]  # two 4x4x1 prototypes
 
 
-def _make_batch(rng, n):
-    """Structured binary images: a prototype with 5% pixel flips."""
+def _make_batch(rng, n, grayscale=False):
+    """Structured images: a prototype with 5% pixel flips; ``grayscale``
+    adds jitter towards mid-levels so a discretized-logistic head sees
+    interior bins as well as the 0/255 edge bins."""
     x = _PROTOS[rng.integers(0, 2, n)]
     flip = rng.random(x.shape) < 0.05
-    return ((x + flip) % 2 * 255).astype(np.uint8)
+    x = (x + flip) % 2
+    if grayscale:
+        g = rng.integers(0, 64, x.shape)
+        return (x * 255 - x * g + (1 - x) * g).clip(0, 255).astype(np.uint8)
+    return (x * 255).astype(np.uint8)
 
 
-def _tiny_trained(n_stochastic: int, steps: int = 400):
+def _tiny_trained(n_stochastic: int, likelihood: str = "bernoulli",
+                  steps: int = 400):
     """A 1-D-latent Bernoulli VAE (depth 1 or 2) trained enough that the
     encoder is a usable proposal; returns (model, cfg, state, rng)."""
     cfg = experiment("model01")
@@ -49,6 +56,7 @@ def _tiny_trained(n_stochastic: int, steps: int = 400):
         cfg.model,
         image_shape=(4, 4, 1),
         n_latent=1,
+        likelihood=likelihood,
         n_stochastic=n_stochastic,
         latent_sizes=(1,) * n_stochastic,
         mlp_hidden=16,
@@ -67,8 +75,9 @@ def _tiny_trained(n_stochastic: int, steps: int = 400):
                                cfg.model.n_samples)
     step = make_train_step(model, cfg, tx, donate=False)
     rng = np.random.default_rng(0)
+    gray = likelihood == "dl"
     for _ in range(steps):
-        state, _ = step(state, jnp.asarray(_make_batch(rng, 64)))
+        state, _ = step(state, jnp.asarray(_make_batch(rng, 64, gray)))
     return model, cfg, state, rng
 
 
@@ -108,17 +117,24 @@ def _quad_depth2(model, params, x, n_nodes):
     return jax.scipy.special.logsumexp(inner + logc[None, :], axis=1)
 
 
-@pytest.mark.parametrize("depth,quad", [(1, _quad_depth1), (2, _quad_depth2)])
-def test_is_harness_matches_exact_evidence(depth, quad):
-    model, cfg, state, rng = _tiny_trained(depth)
-    test_u8 = _make_batch(rng, 6)
+@pytest.mark.parametrize("depth,likelihood,quad", [
+    (1, "bernoulli", _quad_depth1),
+    (2, "bernoulli", _quad_depth2),
+    # discretized-logistic head: the where-cascade's edge bins (x=0, x=1)
+    # AND interior bins enter a full-evidence check
+    (1, "dl", _quad_depth1),
+])
+def test_is_harness_matches_exact_evidence(depth, likelihood, quad):
+    model, cfg, state, rng = _tiny_trained(depth, likelihood)
+    test_u8 = _make_batch(rng, 6, grayscale=likelihood == "dl")
     x = jnp.asarray(test_u8.astype(np.float32) / 255.0)
 
-    truth = quad(model, state.params, x, 101)
-    # the quadrature itself must be converged (node-doubling stability)
-    truth_hi = quad(model, state.params, x, 151)
+    truth = quad(model, state.params, x, 201)
+    # the quadrature itself must be converged (node-count stability; the
+    # sharp DL likelihood needs denser nodes than the Bernoulli cases)
+    truth_hi = quad(model, state.params, x, 301)
     np.testing.assert_allclose(np.asarray(truth), np.asarray(truth_hi),
-                               atol=1e-4)
+                               atol=2e-3)
 
     _, per_image, metrics = evaluate_llh(
         model, cfg, state.params, test_u8,
