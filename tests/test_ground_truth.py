@@ -6,10 +6,11 @@ truth. These tests construct one: on models with 1-D latents, log p(x) is
 computable EXACTLY by Gauss-Hermite quadrature through the very same
 decoder, so the whole estimation pipeline — encoder proposal, log-weight
 assembly (models/objective.py), streaming k-chunked logsumexp
-(evaluation/harness.py) — must converge to it. ALL FOUR likelihood
-families (bernoulli / gaussian / dl / mdl — the reference's full
-observation-model ladder, SURVEY.md §2.1) are covered, plus the two-layer
-hierarchical bound via nested location-scale quadrature.
+(evaluation/harness.py) — must converge to it. ALL FIVE likelihood heads
+(bernoulli / gaussian / dl / mdl / pmdl — the reference's full
+observation-model ladder plus its exported loc-conditioned alternative,
+SURVEY.md §2.1) are covered, plus the two-layer hierarchical bound via
+nested location-scale quadrature.
 
 Calibration: at the chosen k the harness lands within 0.01-0.02 nats of
 truth across seeds; tolerances carry a >3x margin. This closes a class of
@@ -139,6 +140,7 @@ _CASES = [
     (2, "bernoulli", 1, False, 5000, 0.05),
     (1, "dl", 1, True, 5000, 0.05),
     (1, "mdl", 3, True, 20000, 0.08),
+    (1, "pmdl", 3, True, 20000, 0.08),
     (1, "gaussian", 1, True, 20000, 0.08),
 ]
 
