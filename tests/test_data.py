@@ -154,6 +154,86 @@ def test_tfrecord_reader_roundtrip(tmp_path):
     assert np.array_equal(decoded, img)
 
 
+def test_tfrecord_crc_verification(tmp_path):
+    """verify_crc really verifies: records written by TensorFlow itself
+    (the CRC ground truth) pass, and a single flipped payload byte fails
+    with a checksum error."""
+    tf = pytest.importorskip("tensorflow")
+    path = str(tmp_path / "crc.tfrecords")
+    payloads = [b"hello tfrecord", b"x" * 100]
+    with tf.io.TFRecordWriter(path) as w:
+        for p in payloads:
+            w.write(p)
+    assert list(read_records(path, verify_crc=True)) == payloads
+
+    blob = bytearray(open(path, "rb").read())
+    blob[14] ^= 0xFF  # a payload byte of the first record (12-byte header)
+    bad = str(tmp_path / "bad.tfrecords")
+    open(bad, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        list(read_records(bad, verify_crc=True))
+    # unverified reads still stream (trusted-file fast path)
+    assert len(list(read_records(bad))) == 2
+
+
+def test_example_unpacked_floats():
+    """Protobuf parsers must accept UNPACKED repeated floats (each value a
+    fixed32 field) as well as the packed encoding TF writes."""
+    def _encode_varint(v):
+        out = b""
+        while True:
+            bits = v & 0x7F
+            v >>= 7
+            out += bytes([bits | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    def _field(num, wire, payload):
+        return _encode_varint((num << 3) | wire) + payload
+
+    def _bytes_field(num, payload):
+        return _field(num, 2, _encode_varint(len(payload)) + payload)
+
+    floats = [1.5, -2.25, 3.0]
+    unpacked = b"".join(_field(1, 5, struct.pack("<f", v)) for v in floats)
+    float_list = _bytes_field(2, unpacked)  # Feature.float_list
+    entry = _bytes_field(1, b"values") + _bytes_field(2, float_list)
+    example = _bytes_field(1, _bytes_field(1, entry))
+    ex = parse_example(example)
+    np.testing.assert_allclose(ex["values"], np.asarray(floats, np.float32))
+
+
+def test_resize_bilinear_matches_tf():
+    """CelebA downsampling parity: _resize_bilinear == tf.image.resize's
+    default (bilinear, half-pixel centers, /root/reference/utils/data.py:89)
+    after uint8 rounding — integer and non-integer factors."""
+    tf = pytest.importorskip("tensorflow")
+    from vae_mdl_tpu.data.sources import _resize_bilinear
+
+    rng = np.random.default_rng(0)
+    for shape in ((256, 256, 3), (100, 80, 3)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = np.round(
+            tf.image.resize(tf.constant(img), [64, 64]).numpy()
+        ).clip(0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(_resize_bilinear(img, 64), want)
+
+
+def test_device_prefetch_propagates_producer_errors():
+    """A failing source surfaces its real exception in the consumer
+    instead of masquerading as a clean end-of-stream."""
+    from vae_mdl_tpu.data.pipeline import device_prefetch
+
+    def bad_source():
+        yield np.zeros((2, 2), np.uint8)
+        raise RuntimeError("disk on fire")
+
+    stream = device_prefetch(bad_source(), size=2)
+    next(stream)
+    with pytest.raises(RuntimeError, match="disk on fire"):
+        next(stream)
+
+
 def test_synthetic_is_deterministic():
     a = load_synthetic((8, 8, 1), n_train=16, n_test=4, seed=3)
     b = load_synthetic((8, 8, 1), n_train=16, n_test=4, seed=3)

@@ -49,6 +49,32 @@ def test_streaming_matches_direct_logmeanexp():
     )
 
 
+def test_streaming_logmeanexp_all_neg_inf_is_neg_inf():
+    """logsumexp convention: a column whose every log-weight is -inf (a
+    fully diverged posterior) finalizes to -inf, not NaN — and does not
+    poison neighbouring finite columns."""
+    from vae_mdl_tpu.ops.math import (
+        streaming_logmeanexp_finalize,
+        streaming_logmeanexp_init,
+        streaming_logmeanexp_update,
+    )
+
+    state = streaming_logmeanexp_init((3,))
+    chunk1 = jnp.asarray([[-jnp.inf, 0.0, -jnp.inf],
+                          [-jnp.inf, 1.0, -jnp.inf]])
+    chunk2 = jnp.asarray([[-jnp.inf, 2.0, 5.0],
+                          [-jnp.inf, 3.0, 6.0]])
+    state = streaming_logmeanexp_update(state, chunk1, axis=0)
+    state = streaming_logmeanexp_update(state, chunk2, axis=0)
+    out = np.asarray(streaming_logmeanexp_finalize(state))
+    assert out[0] == -np.inf
+    want1 = jax.scipy.special.logsumexp(jnp.asarray([0.0, 1.0, 2.0, 3.0])) - np.log(4)
+    # column 2 saw -inf entries in its first chunk only
+    want2 = jax.scipy.special.logsumexp(jnp.asarray([5.0, 6.0])) - np.log(4)
+    np.testing.assert_allclose(out[1], float(want1), rtol=1e-6)
+    np.testing.assert_allclose(out[2], float(want2), rtol=1e-6)
+
+
 def test_evaluate_llh_handles_ragged_tail():
     cfg, model, params, _ = _setup()
     imgs = (np.random.default_rng(0).random((11, 28, 28, 1)) * 255).astype(np.uint8)

@@ -76,6 +76,21 @@ def test_training_reduces_loss_and_resumes():
     assert restored_loss == pytest.approx(loss_after, rel=1e-5)
 
 
+def test_latest_checkpoint_carries_updated_best_val_loss(tmp_path):
+    """The 'latest' save must include the eval's best_val_loss update: a
+    'latest' carrying the stale (higher) threshold would, after a
+    hard-kill resume, let a worse model overwrite the 'best' checkpoint."""
+    cfg = _tiny_cfg(str(tmp_path))
+    tr = Trainer(cfg)
+    tr.fit(progress=False)
+    latest = tr.ckpt.restore(tr.state, "latest")
+    best = tr.ckpt.restore(tr.state, "best")
+    assert np.isfinite(float(latest.best_val_loss))
+    # the final eval of this short monotonic run improved, so both tags
+    # were written at the same eval with the same (updated) threshold
+    assert float(latest.best_val_loss) == float(best.best_val_loss)
+
+
 def test_resume_falls_back_to_best(tmp_path):
     """A checkpoint dir holding only 'best' — the layout ``cli convert``
     leaves behind — warm-starts the next run instead of reinitialising

@@ -112,14 +112,20 @@ def device_prefetch(it: Iterator[np.ndarray], size: int = 2, put=None) -> Iterat
         try:
             for batch in it:
                 q.put(put(batch))
-        finally:
             q.put(stop)
+        except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
+            # surface producer failures (disk error, bad record, sharded
+            # device_put error) in the consuming thread instead of
+            # masquerading as a clean end-of-stream
+            q.put(e)
 
     threading.Thread(target=producer, daemon=True).start()
     while True:
         item = q.get()
         if item is stop:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

@@ -152,18 +152,39 @@ def load_celeba(data_dir: str, size: int = 64) -> Dict[str, Arrays]:
         for path in files:
             for img, label in parse_file(path):
                 if img.shape[0] != size:
-                    img = _resize_nearest(img, size)
+                    img = _resize_bilinear(img, size)
                 imgs.append(img)
                 labels.append(label)
         out[split] = (np.stack(imgs), np.asarray(labels, np.int32))
     return out
 
 
-def _resize_nearest(img: np.ndarray, size: int) -> np.ndarray:
+def _resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear resize with half-pixel centers — the semantics of the
+    reference's ``tf.image.resize(img, [64, 64])`` default
+    (/root/reference/utils/data.py:89: bilinear, no antialias). Verified
+    against tf.image.resize to < 1e-3 before rounding. The one conscious
+    deviation: the result is rounded back to uint8 (host arrays stay uint8
+    by convention; dequantisation happens on device), which quantises the
+    interpolated values by at most half a level."""
     h, w = img.shape[:2]
-    ri = (np.arange(size) * h // size).astype(np.int32)
-    ci = (np.arange(size) * w // size).astype(np.int32)
-    return img[ri][:, ci]
+
+    def axis(n_in: int):
+        c = (np.arange(size, dtype=np.float64) + 0.5) * (n_in / size) - 0.5
+        c = np.clip(c, 0.0, n_in - 1)
+        lo = np.floor(c).astype(np.int32)
+        hi = np.minimum(lo + 1, n_in - 1)
+        return lo, hi, (c - lo).astype(np.float32)
+
+    rlo, rhi, rf = axis(h)
+    clo, chi, cf = axis(w)
+    x = img.astype(np.float32)
+    cf = cf[None, :, None]
+    top = x[rlo][:, clo] * (1 - cf) + x[rlo][:, chi] * cf
+    bot = x[rhi][:, clo] * (1 - cf) + x[rhi][:, chi] * cf
+    rf = rf[:, None, None]
+    res = top * (1 - rf) + bot * rf
+    return np.round(res).clip(0, 255).astype(np.uint8)
 
 
 def load_digits() -> Dict[str, Arrays]:

@@ -25,8 +25,39 @@ import numpy as np
 FeatureValue = Union[List[bytes], np.ndarray]
 
 
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected 0x82F63B78) — the TFRecord checksum."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def masked_crc(data: bytes) -> int:
+    """TFRecord's rotated+offset masking of crc32c (so CRCs of CRCs don't
+    collide with data)."""
+    crc = _crc32c(data)
+    return ((crc >> 15 | crc << 17) + 0xA282EAD8) & 0xFFFFFFFF
+
+
 def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
-    """Yield raw record payloads from one TFRecord file."""
+    """Yield raw record payloads from one TFRecord file.
+
+    ``verify_crc=True`` checks both masked-crc32c checksums (length and
+    payload) and raises ``ValueError`` on corruption — pure Python, so it
+    costs real time on large shards; leave off for trusted local files."""
     with open(path, "rb") as f:
         while True:
             header = f.read(12)
@@ -34,9 +65,18 @@ def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
                 return
             (length,) = struct.unpack("<Q", header[:8])
             data = f.read(length)
-            f.read(4)  # data crc
+            data_crc = f.read(4)
             if len(data) < length:
                 return
+            if verify_crc:
+                (want_len_crc,) = struct.unpack("<I", header[8:12])
+                if masked_crc(header[:8]) != want_len_crc:
+                    raise ValueError(
+                        f"{path}: corrupt TFRecord length checksum")
+                (want_data_crc,) = struct.unpack("<I", data_crc)
+                if masked_crc(data) != want_data_crc:
+                    raise ValueError(
+                        f"{path}: corrupt TFRecord payload checksum")
             yield data
 
 
@@ -82,6 +122,13 @@ def _iter_fields(buf: bytes):
         elif wire_type == 0:
             value, pos = _read_varint(buf, pos)
             yield field, value
+        elif wire_type == 5:
+            # fixed32 — how UNPACKED repeated floats arrive (parsers must
+            # accept both packed and unpacked encodings); yielded as the
+            # raw 4 bytes so the FloatList branch decodes it like a packed
+            # run of length one
+            yield field, buf[pos:pos + 4]
+            pos += 4
         else:
             pos = _skip_field(buf, pos, wire_type)
 
@@ -91,13 +138,13 @@ def _parse_feature(buf: bytes) -> FeatureValue:
     for field, value in _iter_fields(buf):
         if field == 1:  # BytesList{ repeated bytes value = 1 }
             return [v for f, v in _iter_fields(value) if f == 1]
-        if field == 2:  # FloatList{ repeated float value = 1 [packed] }
+        if field == 2:  # FloatList{ repeated float value = 1 } — packed
+            # runs arrive length-delimited, unpacked values as fixed32;
+            # both reach here as byte strings of 4n floats
             floats: List[float] = []
             for f, v in _iter_fields(value):
                 if f == 1 and isinstance(v, bytes):
-                    floats.extend(struct.unpack(f"<{len(v)//4}f", v))
-                elif f == 1:
-                    floats.append(struct.unpack("<f", struct.pack("<I", v))[0])
+                    floats.extend(struct.unpack(f"<{len(v) // 4}f", v))
             return np.asarray(floats, dtype=np.float32)
         if field == 3:  # Int64List{ repeated int64 value = 1 [packed] }
             ints: List[int] = []

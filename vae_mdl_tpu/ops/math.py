@@ -49,7 +49,12 @@ def streaming_logmeanexp_update(state, log_w_chunk: jax.Array, axis: int = 0):
     new_m = jnp.maximum(m, chunk_max)
     # rescale previous sum to the new max; exp(-inf - finite) == 0 handles init
     s = s * jnp.exp(jnp.where(jnp.isfinite(m), m - new_m, -jnp.inf))
-    s = s + jnp.sum(jnp.exp(log_w_chunk - jnp.expand_dims(new_m, axis)), axis=axis)
+    # guard the new terms the same way: where new_m is still -inf, every
+    # weight in the chunk is -inf too and exp(-inf - -inf) would be NaN —
+    # the logsumexp convention is a zero contribution (result stays -inf)
+    new_m_b = jnp.expand_dims(new_m, axis)
+    shifted = jnp.where(jnp.isfinite(new_m_b), log_w_chunk - new_m_b, -jnp.inf)
+    s = s + jnp.sum(jnp.exp(shifted), axis=axis)
     n = n + log_w_chunk.shape[axis]
     return new_m, s, n
 

@@ -34,31 +34,14 @@ _BLOCK_ROWS = 256  # 256x128 f32 = 128 KiB per operand; 4 operands ~0.5 MiB VMEM
 
 
 def _kernel(x_ref, loc_ref, logscale_ref, out_ref, *, low, high, interval_width):
-    x = x_ref[:]
-    loc = loc_ref[:]
-    logscale = logscale_ref[:]
-
-    dx = interval_width / 2.0
-    centered = x - loc
-    inv_std = jnp.exp(-logscale)
-    start = (centered - dx) * inv_std
-    stop = (centered + dx) * inv_std
-
-    prob = jax.nn.sigmoid(stop) - jax.nn.sigmoid(start)
-    prob = jnp.maximum(prob, 1e-12)
-
-    left_edge = stop - jax.nn.softplus(stop)
-    right_edge = -jax.nn.softplus(start)
-
-    a = centered * inv_std
-    approx = -a - logscale - 2.0 * jax.nn.softplus(-a) + jnp.log(
-        jnp.float32(interval_width)
+    # the kernel body IS the shared jnp source of truth, traced into the
+    # Mosaic program — one cascade definition serves the distribution, the
+    # mixture variants and both kernels (pure elementwise jnp, so it lowers
+    # unchanged)
+    out_ref[:] = discretized_logistic_log_prob(
+        x_ref[:], loc_ref[:], logscale_ref[:],
+        low=low, high=high, interval_width=interval_width,
     )
-
-    lp = jnp.where(prob > 1e-5, jnp.log(prob), approx)
-    lp = jnp.where(x <= low, left_edge, lp)
-    lp = jnp.where(x >= high, right_edge, lp)
-    out_ref[:] = lp
 
 
 def _pad_2d(flat: jax.Array, rows_mult: int):

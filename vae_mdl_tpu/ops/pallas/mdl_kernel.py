@@ -57,6 +57,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vae_mdl_tpu.distributions.discretized import discretized_logistic_log_prob
 from vae_mdl_tpu.distributions.mixture import mixture_log_prob
 
 _BLOCK_PIXELS = 2048
@@ -65,25 +66,15 @@ _LOW, _HIGH = -1.0, 1.0
 
 
 def _dl(x, loc, logscale):
-    """Elementwise discretized-logistic cascade (interval 2/255 on [-1,1]);
-    same numerics as distributions.discretized.discretized_logistic_log_prob."""
-    dx = _INTERVAL_WIDTH / 2.0
-    centered = x - loc
-    inv_std = jnp.exp(-logscale)
-    start = (centered - dx) * inv_std
-    stop = (centered + dx) * inv_std
-
-    prob = jnp.maximum(jax.nn.sigmoid(stop) - jax.nn.sigmoid(start), 1e-12)
-    left_edge = stop - jax.nn.softplus(stop)
-    right_edge = -jax.nn.softplus(start)
-    a = centered * inv_std
-    approx = -a - logscale - 2.0 * jax.nn.softplus(-a) + jnp.log(
-        jnp.float32(_INTERVAL_WIDTH)
+    """Elementwise discretized-logistic cascade (interval 2/255 on [-1,1]) —
+    delegates to the shared jnp source of truth
+    (distributions.discretized.discretized_logistic_log_prob), which traces
+    into the Mosaic program unchanged: one cascade definition for the
+    distribution, the mixtures and both kernels."""
+    return discretized_logistic_log_prob(
+        x, loc, logscale, low=_LOW, high=_HIGH,
+        interval_width=_INTERVAL_WIDTH,
     )
-    lp = jnp.where(prob > 1e-5, jnp.log(prob), approx)
-    lp = jnp.where(x <= _LOW, left_edge, lp)
-    lp = jnp.where(x >= _HIGH, right_edge, lp)
-    return lp
 
 
 def _dl_grads(t, loc, logscale):

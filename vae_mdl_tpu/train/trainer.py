@@ -244,9 +244,11 @@ class Trainer:
         def _on_sigterm(signum, frame):
             stop_requested["flag"] = True
 
+        installed = False
         prev_handler = None
         try:
             prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+            installed = True
         except ValueError:
             pass  # not in the main thread; periodic checkpoints still cover
 
@@ -258,9 +260,16 @@ class Trainer:
         finally:
             # restore the handler on EVERY exit path (normal, SIGTERM break,
             # data error, OOM) — a stale handler would silently swallow all
-            # later SIGTERMs for the rest of the process
-            if prev_handler is not None:
-                signal.signal(signal.SIGTERM, prev_handler)
+            # later SIGTERMs for the rest of the process. getsignal/signal
+            # return None for a handler installed from C; Python cannot
+            # restore that, so fall back to SIG_DFL (terminate), never leave
+            # the dead-flag handler in place
+            if installed:
+                signal.signal(
+                    signal.SIGTERM,
+                    prev_handler if prev_handler is not None
+                    else signal.SIG_DFL,
+                )
         return self.state
 
     def _fit_loop(self, steps, eval_interval, pbar, profile_dir,
@@ -317,8 +326,12 @@ class Trainer:
                 if cfg.train.report_images:
                     self.report(i)
 
-                self.ckpt.save(self.state, "latest")
-                if val_loss < float(self.state.best_val_loss):
+                # fold the improved best_val_loss into the state BEFORE the
+                # 'latest' save: a 'latest' carrying the stale (higher)
+                # threshold would, after a hard-kill resume, let a worse
+                # model overwrite the 'best' checkpoint
+                improved = val_loss < float(self.state.best_val_loss)
+                if improved:
                     best = jnp.asarray(val_loss, jnp.float32)
                     if self.mesh is not None:
                         # keep every checkpointed leaf globally replicated
@@ -328,6 +341,8 @@ class Trainer:
 
                         best = jax.device_put(best, replicated(self.mesh))
                     self.state = self.state.replace(best_val_loss=best)
+                self.ckpt.save(self.state, "latest")
+                if improved:
                     self.ckpt.save(self.state, "best")
 
                 window_t0 = time.perf_counter()
