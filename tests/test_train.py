@@ -333,6 +333,49 @@ def test_biladder_flops_accounting():
         analytic_model_flops(MODELS["model05"], 1))
 
 
+def test_ladder_flops_accounting():
+    """utils/flops.ladder_flops: forward_flops must dispatch LadderConfig
+    (a registered zoo family — it used to crash with AttributeError), the
+    count must land within the usual conservative band of XLA's static
+    count for the FULL bound, and the per-image/per-sample split must
+    respect where the k axis appears (at z_1)."""
+    import jax
+
+    from vae_mdl_tpu.models.ladder import LADDER_SVHN
+    from vae_mdl_tpu.models.objective import log_weights
+    from vae_mdl_tpu.models.vae import build_model, prior_for
+    from vae_mdl_tpu.utils.flops import (
+        compiled_flops,
+        forward_flops,
+        ladder_flops,
+        train_step_flops,
+    )
+
+    f1 = ladder_flops(LADDER_SVHN, 1)
+    assert math.isfinite(f1) and f1 > 0
+    assert ladder_flops(LADDER_SVHN, 3) == pytest.approx(3 * f1)
+    f_k10 = ladder_flops(LADDER_SVHN, 1, n_samples=10)
+    assert f1 < f_k10 < 2 * f1  # stem + stage-0 encoder are per image
+    assert forward_flops(LADDER_SVHN, 1) == pytest.approx(f1)
+    assert train_step_flops(LADDER_SVHN, 4) == pytest.approx(
+        3 * forward_flops(LADDER_SVHN, 4))
+
+    # against XLA's static count of the full bound (matmul/conv terms only
+    # -> analytic sits a little under; DCE-free because log_weights
+    # consumes every Q and P)
+    model = build_model(LADDER_SVHN)
+    x = jnp.zeros((4, 32, 32, 3), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "sample": jax.random.PRNGKey(1)}, x, 1)
+    prior = prior_for(LADDER_SVHN)
+    fn = jax.jit(lambda p, a: log_weights(
+        prior, *model.apply(p, a, 5, rngs={"sample": jax.random.PRNGKey(2)}),
+        x=a).sum())
+    comp = compiled_flops(fn, params, x)
+    if comp:  # backend cost model available
+        assert 0.7 < forward_flops(LADDER_SVHN, 4) / comp < 1.05
+
+
 def test_sigterm_checkpoints_and_exits_cleanly():
     """Graceful preemption: SIGTERM mid-fit finishes the in-flight step,
     checkpoints the exact state and returns — auto-resume then continues

@@ -35,7 +35,8 @@ from vae_mdl_tpu.nn.blocks import (
     EncoderBlock,
     merge_leading,
 )
-from vae_mdl_tpu.nn.decoders import head_channels, make_observation
+from vae_mdl_tpu.models.vae import prior_for
+from vae_mdl_tpu.nn.decoders import head_channels, ladder_observation
 
 _SPATIAL_AXES = (-1, -2, -3)
 
@@ -176,13 +177,7 @@ class BiLadderVAE(nn.Module):
         return Qs
 
     def decode(self, z1: jax.Array) -> DistributionTuple:
-        h = self.obs_up(z1)
-        out = self.obs_head(h.astype(jnp.float32))
-        pxz = make_observation(out, self.config.likelihood,
-                               self.config.bound_logstd,
-                               self.config.use_pallas)
-        return DistributionTuple(pxz, pxz.sample(self.make_rng("sample")),
-                                 axes=pxz.event_axes)
+        return ladder_observation(self, z1)
 
     def generate(self, z_top: jax.Array) -> DistributionTuple:
         z = z_top
@@ -192,9 +187,7 @@ class BiLadderVAE(nn.Module):
         return self.decode(z)
 
     def prior(self) -> Normal:
-        shape = self.config.top_latent_shape()
-        return Normal(jnp.zeros(shape), jnp.ones(shape),
-                      event_axes=_SPATIAL_AXES)
+        return prior_for(self.config)
 
 
 BILADDER_SVHN = BiLadderConfig(

@@ -32,7 +32,8 @@ from vae_mdl_tpu.nn.blocks import (
     StochasticEncoderBlock,
     gelu,
 )
-from vae_mdl_tpu.nn.decoders import head_channels, make_observation
+from vae_mdl_tpu.models.vae import prior_for
+from vae_mdl_tpu.nn.decoders import head_channels, ladder_observation
 
 _SPATIAL_AXES = (-1, -2, -3)
 
@@ -119,13 +120,7 @@ class ConvLadderVAE(nn.Module):
     # ------------------------------------------------------------ generation
 
     def decode(self, z1: jax.Array) -> DistributionTuple:
-        h = self.obs_up(z1)
-        out = self.obs_head(h.astype(jnp.float32))
-        pxz = make_observation(out, self.config.likelihood,
-                               self.config.bound_logstd,
-                               self.config.use_pallas)
-        return DistributionTuple(pxz, pxz.sample(self.make_rng("sample")),
-                                 axes=pxz.event_axes)
+        return ladder_observation(self, z1)
 
     def decode_down(self, Qs):
         Ps = []
@@ -148,14 +143,7 @@ class ConvLadderVAE(nn.Module):
         return Qs, Ps, pxz
 
     def prior(self) -> Normal:
-        shape = self.config.top_latent_shape()
-        return Normal(jnp.zeros(shape), jnp.ones(shape),
-                      event_axes=_SPATIAL_AXES)
-
-
-def ladder_prior(config: LadderConfig) -> Normal:
-    shape = config.top_latent_shape()
-    return Normal(jnp.zeros(shape), jnp.ones(shape), event_axes=_SPATIAL_AXES)
+        return prior_for(self.config)
 
 
 # a ready-made config: 3 spatial scales on 32x32 images

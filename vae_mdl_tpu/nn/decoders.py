@@ -32,6 +32,7 @@ from flax import linen as nn
 from vae_mdl_tpu.distributions import (
     Bernoulli,
     DiscretizedLogistic,
+    DistributionTuple,
     MixtureDiscretizedLogistic,
     Normal,
     PixelMixtureDiscretizedLogistic,
@@ -110,6 +111,23 @@ def make_observation(
         # utils/__init__.py:6); log_prob is per-pixel, so event axes (-1,-2)
         return PixelMixtureDiscretizedLogistic(out, event_axes=(-1, -2))
     raise ValueError(f"unknown likelihood {likelihood!r}")
+
+
+def ladder_observation(module, z1: jax.Array) -> DistributionTuple:
+    """Shared observation decode of both ladder families (models/ladder.py
+    ConvLadderVAE and models/bidirectional.py BiLadderVAE): upsample z_1 to
+    image resolution (``module.obs_up``), run the FLOAT32 likelihood head
+    (``module.obs_head`` — likelihood parameters never quantise to the bf16
+    body dtype), build the configured observation distribution and attach a
+    sample. One definition, so a head change (dtype, clipping, a new
+    likelihood) can never silently reach only one family."""
+    cfg = module.config
+    h = module.obs_up(z1)
+    out = module.obs_head(h.astype(jnp.float32))
+    pxz = make_observation(out, cfg.likelihood, cfg.bound_logstd,
+                           cfg.use_pallas)
+    return DistributionTuple(pxz, pxz.sample(module.make_rng("sample")),
+                             axes=pxz.event_axes)
 
 
 def head_channels(likelihood: str, out_channels: int, n_mix: int) -> int:

@@ -49,16 +49,23 @@ def make_shard_map_train_step(
     """(replicated state, data-sharded uint8 batch) -> (state, metrics).
 
     Inside the shard-mapped body every device sees its batch shard and the
-    full (replicated) params; gradients are pmean'ed over ``data`` before the
-    optimizer update, so each device applies the identical update.
+    full (replicated) params; gradients are pmean'ed before the optimizer
+    update, so each device applies the identical update.
+
+    The batch shards over ALL mesh axes flattened (like the ZeRO-1 path):
+    on a (data, sample) mesh the sample-axis devices carry their own batch
+    shards rather than silently duplicating the data-axis work — the
+    ``sample`` axis only means importance-sample sharding inside the eval
+    harness, not here.
     """
     prior = prior_for(cfg.model)
     k = cfg.model.n_samples
+    axes = mesh.axis_names
 
     def per_device_step(state: TrainState, batch: jax.Array):
         rngs = state.next_rngs("sample", "binarize", "flip")
         # decorrelate per-device sampling/binarisation/flip noise
-        didx = jax.lax.axis_index("data")
+        didx = jax.lax.axis_index(axes)
         rngs = {name: jax.random.fold_in(key, didx)
                 for name, key in rngs.items()}
         x = preprocess_train(cfg, batch, rngs)
@@ -74,11 +81,11 @@ def make_shard_map_train_step(
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        # THE collective: average gradients (and the scalar metrics) over the
-        # data axis — rides ICI
-        grads = jax.lax.pmean(grads, "data")
-        loss = jax.lax.pmean(loss, "data")
-        metrics = jax.tree.map(lambda m: jax.lax.pmean(jnp.mean(m), "data"),
+        # THE collective: average gradients (and the scalar metrics) over
+        # every mesh axis — rides ICI
+        grads = jax.lax.pmean(grads, axes)
+        loss = jax.lax.pmean(loss, axes)
+        metrics = jax.tree.map(lambda m: jax.lax.pmean(jnp.mean(m), axes),
                                metrics)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -100,7 +107,7 @@ def make_shard_map_train_step(
     mapped = shard_map(
         per_device_step,
         mesh=mesh,
-        in_specs=(replicated, P("data")),
+        in_specs=(replicated, P(axes)),
         out_specs=(replicated, replicated),
         # classic per-device semantics. Under check_vma=True, reverse-mode AD
         # w.r.t. the REPLICATED params inserts its own psum into the transpose

@@ -45,9 +45,12 @@ def analytic_model_flops(model_cfg, batch: int = 1) -> float:
     """Closed-form forward FLOPs per batch for a conv/mlp VAE config: the
     encoder once per image plus the decoder once per importance sample
     (matmul/conv terms only — elementwise work is FLOP-noise on the MXU)."""
+    from vae_mdl_tpu.nn.decoders import head_channels
+
     h, w, c = model_cfg.image_shape
     k = model_cfg.n_samples
     latents = model_cfg.latents()
+    n_head = head_channels(model_cfg.likelihood, c, model_cfg.n_mix)
 
     enc = 0.0
     if model_cfg.encoder.kind == "mlp":
@@ -70,7 +73,9 @@ def analytic_model_flops(model_cfg, batch: int = 1) -> float:
 
     dec = 0.0
     if model_cfg.decoder.kind == "mlp":
-        n_out = h * w * c
+        # the output Dense emits h*w*head_channels values (e.g. 2x for a
+        # gaussian/dl head, n_mix*10 per pixel for mdl), not h*w*c
+        n_out = h * w * n_head
         n_h = model_cfg.decoder.n_hidden
         dec += 2.0 * (latents[0] * n_h + n_h * n_h + n_h * n_out)
     else:
@@ -91,6 +96,14 @@ def analytic_model_flops(model_cfg, batch: int = 1) -> float:
             fl, hw = _conv_flops(hw, ch, f, kk, s, t)
             dec += fl
             ch = f
+        cl = model_cfg.decoder.conv_layers
+        if not (cl and cl[-1][0] == n_head):
+            # the head is NOT folded into the conv stack (the zoo folds it;
+            # register_model user configs may not): ConvDecoder then appends
+            # a standalone 3x3 likelihood-head conv at full resolution
+            # (nn/decoders.py 'head' branch) — a real FLOPs term. head_pad
+            # channels are deliberately NOT counted (MFU counts useful work)
+            dec += _conv_flops(hw, ch, n_head, 3, 1, False)[0]
 
     # MLP stochastic layers (model06-style): negligible but counted
     mlp = 0.0
@@ -106,6 +119,8 @@ def forward_flops(model_cfg, batch: int = 1,
     """Forward FLOPs per batch for any model family's config."""
     if type(model_cfg).__name__ == "BiLadderConfig":
         return biladder_flops(model_cfg, batch, n_samples)
+    if type(model_cfg).__name__ == "LadderConfig":
+        return ladder_flops(model_cfg, batch, n_samples)
     if n_samples is not None:
         import dataclasses
 
@@ -129,6 +144,65 @@ def _residual_block_flops(hw, c_in: int, hidden: int, out: int) -> float:
     if c_in != out:
         fl += _conv_flops(hw, c_in, out, 1, 1, False)[0]
     return fl
+
+
+def ladder_flops(cfg, batch: int = 1, n_samples: Optional[int] = None) -> float:
+    """Closed-form forward FLOPs per batch for a LadderConfig
+    (models/ladder.py ConvLadderVAE): the stem and the FIRST stochastic
+    encoder stage run once per image (the importance-sample axis appears at
+    z_1, ladder.py encode); everything downstream of z_1 — upper encoder
+    stages, the top-down p(z_i|z_{i+1}) blocks and the observation decoder —
+    runs once per sample."""
+    from vae_mdl_tpu.nn.decoders import head_channels
+
+    H, W, C = cfg.image_shape
+    k = cfg.n_samples if n_samples is None else n_samples
+    stages = cfg.stages
+    L = len(stages)
+
+    res = []
+    hw = (H, W)
+    for (_h, _o, _n, rate) in stages:
+        hw = (hw[0] // rate, hw[1] // rate)
+        res.append(hw)
+    res_in = [(H, W)] + res[:-1]  # resolution entering stage i's blocks
+
+    def stoch_enc(i: int, c_in: int) -> float:
+        """StochasticEncoderBlock i: n_b ResidualBlocks at the incoming
+        resolution, avg-pool (free), 3x3 head conv at the pooled scale."""
+        h_w, out, n_b, _ = stages[i]
+        fl = 0.0
+        for b in range(n_b):
+            fl += _residual_block_flops(res_in[i], c_in if b == 0 else out,
+                                        h_w, out)
+        fl += _conv_flops(res[i], out, 2 * out, 3, 1, False)[0]
+        return fl
+
+    per_img = _conv_flops((H, W), C, cfg.stem_features, 3, 1, False)[0]
+    per_img += stoch_enc(0, cfg.stem_features)
+
+    per_sample = 0.0
+    for i in range(1, L):
+        per_sample += stoch_enc(i, stages[i - 1][1])
+    # top-down p(z_i | z_{i+1}): upsample (FLOP-noise) + blocks + head conv
+    for i in range(L - 1):
+        h_w, out, n_b, _ = stages[i]
+        c_in = stages[i + 1][1]
+        for b in range(n_b):
+            per_sample += _residual_block_flops(res[i],
+                                                c_in if b == 0 else out,
+                                                h_w, out)
+        per_sample += _conv_flops(res[i], out, 2 * out, 3, 1, False)[0]
+    # observation decoder: obs_up from z_1 to full res + likelihood head
+    h0, lat0, n0, _ = stages[0]
+    for b in range(n0):
+        per_sample += _residual_block_flops((H, W), lat0 if b == 0 else h0,
+                                            h0, h0)
+    per_sample += _conv_flops(
+        (H, W), h0, head_channels(cfg.likelihood, C, cfg.n_mix), 3, 1, False
+    )[0]
+
+    return batch * (per_img + k * per_sample)
 
 
 def biladder_flops(cfg, batch: int = 1, n_samples: Optional[int] = None) -> float:

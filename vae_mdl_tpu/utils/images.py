@@ -26,7 +26,10 @@ def to_uint8(img: np.ndarray) -> np.ndarray:
     img = np.asarray(img)
     if img.dtype == np.uint8:
         return img
-    return (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    # round, don't truncate: floor would render 0.9999 as 254 and bias every
+    # grid dark by up to 1 LSB — and disagree with the sampler's own
+    # quantisation (models/inference.py: img*255 + 0.5)
+    return np.round(np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
 
 
 def save_png(img: np.ndarray, path: str) -> None:
