@@ -12,6 +12,9 @@ Additional keys in the same line:
   speed-of-light denominator VERDICT r1 item #2 asked for (the reference
   publishes no throughput numbers at all, SURVEY.md §6).
 - ``model01_imgs_per_sec``: the MLP/Bernoulli family's train throughput.
+- ``model04_imgs_per_sec`` / ``model04_mfu``: the wide-GLU family — the
+  >50%-MFU positive control that contextualises model05's
+  likelihood-bound plateau (docs/design.md §12b/§12c).
 - ``model05_eval5000_imgs_per_sec`` / ``eval_mfu``: the
   5000-importance-sample test evaluation (bf16 conv body + layout-free
   Pallas MoDL kernel — the likelihood math itself stays float32), with its
@@ -156,6 +159,10 @@ def main():
     imgs05, flops_step, batch = _train_throughput("model05")
     imgs05_bf16, _, _ = _train_throughput("model05", compute_dtype="bfloat16")
     imgs01, _, _ = _train_throughput("model01")
+    # model04: the wide-GLU family — the positive control showing the
+    # machine sustains >50% MFU when the likelihood is cheap
+    # (docs/design.md §12b); its MFU contextualises model05's plateau.
+    imgs04, flops04, batch04 = _train_throughput("model04")
     imgs05_res = _resident_throughput("model05")
     eval05 = _eval_throughput()
 
@@ -199,6 +206,9 @@ def main():
                 "model05_resident_mfu": round(
                     imgs05_res * flops_per_img / V5E_PEAK_FLOPS, 4),
                 "model01_imgs_per_sec": round(imgs01, 1),
+                "model04_imgs_per_sec": round(imgs04, 1),
+                "model04_mfu": round(
+                    imgs04 * (flops04 / batch04) / V5E_PEAK_FLOPS, 4),
                 "model05_eval5000_imgs_per_sec": round(eval05, 1),
                 "eval_mfu": round(eval_mfu, 4),
                 "biladder_celeba64_imgs_per_sec": round(imgs_bl, 1),

@@ -163,15 +163,14 @@ def _init_params(cfg, x):
         x, 1)
 
 
-def _model01_ckpt(tmp_path, x) -> str:
-    """Build the Keras mirror on x and write its reference-layout
-    checkpoint; returns (prefix, ref)."""
-    ref = _Ref01()
-    ref(tf.constant(x))  # build
-    prefix = str(tmp_path / "best")
+def _entries01(ref) -> dict:
+    """{ref checkpoint base path: keras layer} for the model01 mirror —
+    shared by the checkpoint writer here and the gradient-parity tests
+    (tests/test_gradient_parity.py), which need per-layer gradients keyed
+    the same way."""
     blk = ref.encoder.encode_x_to_z
     seq = ref.decoder.decode_z_to_x.layers
-    _write_ref_ckpt(prefix, {
+    return {
         "encoder/encode_x_to_z/l1": blk.l1,
         "encoder/encode_x_to_z/l2": blk.l2,
         "encoder/encode_x_to_z/lmu": blk.lmu,
@@ -179,7 +178,26 @@ def _model01_ckpt(tmp_path, x) -> str:
         "decoder/decode_z_to_x/layer_with_weights-0": seq[0],
         "decoder/decode_z_to_x/layer_with_weights-1": seq[1],
         "decoder/decode_z_to_x/layer_with_weights-2": seq[2],
-    })
+    }
+
+
+def _entries_conv(enc, dec) -> dict:
+    """Entries for the model02/03/05/06 conv skeleton mirrors."""
+    entries = {"encoder/fc": enc.fc, "decoder/fc": dec.fc}
+    for i, layer in enumerate(enc.convs.layers):
+        entries[f"encoder/convs/layer_with_weights-{i}"] = layer
+    for i, layer in enumerate(dec.deconvs.layers):
+        entries[f"decoder/deconvs/layer_with_weights-{i}"] = layer
+    return entries
+
+
+def _model01_ckpt(tmp_path, x) -> str:
+    """Build the Keras mirror on x and write its reference-layout
+    checkpoint; returns (prefix, ref)."""
+    ref = _Ref01()
+    ref(tf.constant(x))  # build
+    prefix = str(tmp_path / "best")
+    _write_ref_ckpt(prefix, _entries01(ref))
     return prefix, ref
 
 
@@ -243,12 +261,7 @@ def test_model05_roundtrip(tmp_path):
     ref = _Ref05()
     ref(tf.constant(x))  # build
     prefix = str(tmp_path / "best")
-    entries = {"encoder/fc": ref.encoder.fc, "decoder/fc": ref.decoder.fc}
-    for i, layer in enumerate(ref.encoder.convs.layers):
-        entries[f"encoder/convs/layer_with_weights-{i}"] = layer
-    for i, layer in enumerate(ref.decoder.deconvs.layers):
-        entries[f"decoder/deconvs/layer_with_weights-{i}"] = layer
-    _write_ref_ckpt(prefix, entries)
+    _write_ref_ckpt(prefix, _entries_conv(ref.encoder, ref.decoder))
 
     model, params = _init_params(MODEL05, jnp.asarray(x))
     params = load_reference_weights(prefix, "model05", params)
@@ -374,29 +387,41 @@ def test_model04_roundtrip(tmp_path):
                                rtol=1e-4, atol=1e-4)
 
 
+class _BasicBlock06(tf.keras.Model):
+    """model06's second-layer BasicBlock mirror: gelu + softplus-lstd
+    (model06.py:81-98). Module-level so the gradient-parity tests reuse it."""
+
+    def __init__(self, n_hidden, n_latent):
+        super().__init__()
+        self.l1 = layers.Dense(n_hidden, activation=tf.nn.gelu)
+        self.l2 = layers.Dense(n_hidden, activation=tf.nn.gelu)
+        self.lmu = layers.Dense(n_latent, activation=None)
+        self.lstd = layers.Dense(n_latent, activation=tf.nn.softplus)
+
+    def call(self, z):
+        h2 = self.l2(self.l1(z))
+        return self.lmu(h2), self.lstd(h2)
+
+
+def _entries06(enc, dec, mlp_enc, mlp_dec) -> dict:
+    """Entries for the full model06 mirror (conv skeleton + the two
+    second-stochastic-layer BasicBlocks, model06.py:188-191)."""
+    entries = _entries_conv(enc, dec)
+    for name, blk in (("mlp_encoder", mlp_enc), ("mlp_decoder", mlp_dec)):
+        for attr in ("l1", "l2", "lmu", "lstd"):
+            entries[f"{name}/{attr}"] = getattr(blk, attr)
+    return entries
+
+
 def test_model06_roundtrip(tmp_path):
     from vae_mdl_tpu.models.zoo import MODEL06
 
     rng = np.random.default_rng(3)
     x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
     # model06 = the model05 conv skeleton with gelu activations and a
-    # 6-channel DL head (model06.py:102-167); its BasicBlocks are gelu +
-    # softplus-lstd (model06.py:81-98)
+    # 6-channel DL head (model06.py:102-167)
     enc = _Enc05(n_latent=20, act=tf.nn.gelu)
     dec = _Dec05(n_head=6, act=tf.nn.gelu)
-
-    class _BasicBlock06(tf.keras.Model):
-        def __init__(self, n_hidden, n_latent):
-            super().__init__()
-            self.l1 = layers.Dense(n_hidden, activation=tf.nn.gelu)
-            self.l2 = layers.Dense(n_hidden, activation=tf.nn.gelu)
-            self.lmu = layers.Dense(n_latent, activation=None)
-            self.lstd = layers.Dense(n_latent, activation=tf.nn.softplus)
-
-        def call(self, z):
-            h2 = self.l2(self.l1(z))
-            return self.lmu(h2), self.lstd(h2)
-
     mlp_enc = _BasicBlock06(100, 20)
     mlp_dec = _BasicBlock06(100, 20)
     enc(tf.constant(x))
@@ -404,16 +429,8 @@ def test_model06_roundtrip(tmp_path):
     mlp_enc(tf.constant(rng.standard_normal((2, 20)).astype(np.float32)))
     mlp_dec(tf.constant(rng.standard_normal((2, 20)).astype(np.float32)))
 
-    entries = {"encoder/fc": enc.fc, "decoder/fc": dec.fc}
-    for i, layer in enumerate(enc.convs.layers):
-        entries[f"encoder/convs/layer_with_weights-{i}"] = layer
-    for i, layer in enumerate(dec.deconvs.layers):
-        entries[f"decoder/deconvs/layer_with_weights-{i}"] = layer
-    for name, blk in (("mlp_encoder", mlp_enc), ("mlp_decoder", mlp_dec)):
-        for attr in ("l1", "l2", "lmu", "lstd"):
-            entries[f"{name}/{attr}"] = getattr(blk, attr)
     prefix = str(tmp_path / "best")
-    _write_ref_ckpt(prefix, entries)
+    _write_ref_ckpt(prefix, _entries06(enc, dec, mlp_enc, mlp_dec))
 
     model, params = _init_params(MODEL06, jnp.asarray(x))
     params = load_reference_weights(prefix, "model06", params)
