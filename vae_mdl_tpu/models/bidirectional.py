@@ -29,11 +29,10 @@ from flax import linen as nn
 
 from vae_mdl_tpu.distributions import DistributionTuple, Normal
 from vae_mdl_tpu.nn.blocks import (
-    gelu,
     _KERNEL_INIT,
+    _activation,
     DecoderBlock,
     EncoderBlock,
-    merge_leading,
 )
 from vae_mdl_tpu.models.vae import prior_for
 from vae_mdl_tpu.nn.decoders import head_channels, ladder_observation
@@ -58,6 +57,10 @@ class BiLadderConfig:
     use_pallas: Optional[bool] = None
     compute_dtype: str = "float32"
     beta: float = 1.0
+    # tanh-approximate gelu by default: the ladders are this repo's own
+    # families (no reference checkpoint to stay bit-exact against) and the
+    # exact erf gelu costs them ~34% throughput (docs/design.md §12h)
+    activation: str = "gelu_tanh"
 
     @property
     def n_stochastic(self) -> int:
@@ -98,13 +101,15 @@ class BiLadderVAE(nn.Module):
             cfg.compute_dtype
         ]
         self._dtype = dtype
+        self._act = _activation(cfg.activation)
         L = len(cfg.stages)
 
         self.stem = nn.Conv(cfg.stem_features, (3, 3), padding="SAME",
                             dtype=dtype, kernel_init=_KERNEL_INIT)
         # bottom-up deterministic feature extractors
         self.enc_blocks = tuple(
-            EncoderBlock(h, h, n, r, cfg.rezero, dtype, name=f"enc_{i}")
+            EncoderBlock(h, h, n, r, cfg.rezero, dtype, cfg.activation,
+                         name=f"enc_{i}")
             for i, (h, lat, n, r) in enumerate(cfg.stages)
         )
         # top posterior head
@@ -115,7 +120,7 @@ class BiLadderVAE(nn.Module):
             h_w, lat, n_b, _ = cfg.stages[i]
             rate_above = cfg.stages[i + 1][3]
             ups.append(DecoderBlock(h_w, h_w, n_b, rate_above, cfg.rezero,
-                                    dtype, name=f"up_{i}"))
+                                    dtype, cfg.activation, name=f"up_{i}"))
             priors.append(_GaussianHead(lat, name=f"p_{i}"))
             merges.append(_GaussianHead(lat, name=f"q_{i}"))
         self.up_blocks = tuple(ups)
@@ -124,7 +129,7 @@ class BiLadderVAE(nn.Module):
 
         h0 = cfg.stages[0]
         self.obs_up = DecoderBlock(h0[0], h0[0], h0[2], h0[3], cfg.rezero,
-                                   dtype, name="obs_up")
+                                   dtype, cfg.activation, name="obs_up")
         self.obs_head = nn.Conv(
             head_channels(cfg.likelihood, cfg.image_shape[-1], cfg.n_mix),
             (3, 3), padding="SAME", dtype=jnp.float32,
@@ -134,7 +139,7 @@ class BiLadderVAE(nn.Module):
     # -- bottom-up deterministic path ---------------------------------------
 
     def _features(self, x: jax.Array):
-        h = gelu(self.stem(x.astype(self._dtype)))
+        h = self._act(self.stem(x.astype(self._dtype)))
         hs = []
         for block in self.enc_blocks:
             h = block(h)
@@ -197,9 +202,10 @@ BILADDER_SVHN = BiLadderConfig(
 
 # 64x64 CelebA-scale ladder (the reference ships the celeba data path but no
 # model for it, utils/data.py:65-105) — four spatial scales down to 4x4.
-# bf16 conv bodies by default: measured +50% (914 -> 1368 imgs/s on v5e-1,
+# bf16 conv bodies by default: measured +50% (914 -> ~1370 imgs/s on v5e-1,
 # docs/design.md §12) — the ladder's resizes/concats are bandwidth-bound and
 # every likelihood/posterior head is f32 by construction (_GaussianHead).
+# tanh gelu by default: +52% over exact erf gelu (design.md §12h).
 BILADDER_CELEBA = BiLadderConfig(
     name="biladder_celeba",
     image_shape=(64, 64, 3),

@@ -26,11 +26,11 @@ from flax import linen as nn
 from vae_mdl_tpu.distributions import DistributionTuple, Normal
 from vae_mdl_tpu.nn.blocks import (
     _KERNEL_INIT,
+    _activation,
     DecoderBlock,
     EncoderBlock,
     StochasticDecoderBlock,
     StochasticEncoderBlock,
-    gelu,
 )
 from vae_mdl_tpu.models.vae import prior_for
 from vae_mdl_tpu.nn.decoders import head_channels, ladder_observation
@@ -56,6 +56,10 @@ class LadderConfig:
     use_pallas: Optional[bool] = None
     compute_dtype: str = "float32"
     beta: float = 1.0  # KL weight in the bound
+    # tanh-approximate gelu by default: the ladders are this repo's own
+    # families (no reference checkpoint to stay bit-exact against) and the
+    # exact erf gelu costs them ~34% throughput (docs/design.md §12h)
+    activation: str = "gelu_tanh"
 
     @property
     def n_stochastic(self) -> int:
@@ -78,25 +82,27 @@ class ConvLadderVAE(nn.Module):
             cfg.compute_dtype
         ]
         self._dtype = dtype
+        self._act = _activation(cfg.activation)
         self.stem = nn.Conv(cfg.stem_features, (3, 3), padding="SAME",
                             dtype=dtype, kernel_init=_KERNEL_INIT)
         self.enc_blocks = tuple(
             StochasticEncoderBlock(h, o, n, r, cfg.rezero, dtype,
-                                   name=f"enc_{i}")
+                                   cfg.activation, name=f"enc_{i}")
             for i, (h, o, n, r) in enumerate(cfg.stages)
         )
         # top-down generative blocks: p(z_i | z_{i+1}) upsamples scale i+1 -> i
         self.dec_blocks = tuple(
             StochasticDecoderBlock(
                 cfg.stages[i][0], cfg.stages[i][1], cfg.stages[i][2],
-                cfg.stages[i + 1][3], cfg.rezero, dtype, name=f"dec_{i}"
+                cfg.stages[i + 1][3], cfg.rezero, dtype, cfg.activation,
+                name=f"dec_{i}"
             )
             for i in range(len(cfg.stages) - 1)
         )
         # observation head: upsample z_1 back to image resolution
         h0 = cfg.stages[0]
         self.obs_up = DecoderBlock(h0[0], h0[0], h0[2], h0[3], cfg.rezero,
-                                   dtype, name="obs_up")
+                                   dtype, cfg.activation, name="obs_up")
         self.obs_head = nn.Conv(
             head_channels(cfg.likelihood, cfg.image_shape[-1], cfg.n_mix),
             (3, 3), padding="SAME", dtype=jnp.float32,
@@ -106,7 +112,7 @@ class ConvLadderVAE(nn.Module):
     # ------------------------------------------------------------- inference
 
     def encode(self, x: jax.Array, n_samples: int = 1):
-        h = gelu(self.stem(x.astype(self._dtype)))
+        h = self._act(self.stem(x.astype(self._dtype)))
         Qs = []
         z = h
         for i, block in enumerate(self.enc_blocks):
