@@ -177,6 +177,49 @@ def test_gradient_accumulation():
     assert not np.array_equal(np.asarray(p1), np.asarray(p2))  # applied
 
 
+def test_adam_keras_optimizer_trains():
+    """``optimizer: "adam_keras"`` (the reference's exact Adam formulation,
+    train/state.keras_adam) works through make_optimizer + the jitted train
+    step and reduces the loss; its update stays CLOSE to optax.adam (the
+    formulations differ only in eps value/placement — the Keras-oracle pin
+    lives in tests/test_gradient_parity.py)."""
+    import jax
+    from vae_mdl_tpu.models.vae import build_model
+    from vae_mdl_tpu.train.steps import make_train_step
+
+    cfg = experiment("model01")
+    cfg = dataclasses.replace(
+        cfg,
+        data=DataConfig(dataset="synthetic:mnist", batch_size=8),
+        train=TrainConfig(optimizer="adam_keras", lr_staircase=False),
+    )
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x = jnp.zeros((8, 28, 28, 1))
+    state = create_train_state(model, cfg.train, x, cfg.model.n_samples)
+    step = make_train_step(model, cfg, tx, donate=False)
+    batch = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (8, 28, 28, 1), dtype=np.uint8)
+    )
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+
+    # the two Adam formulations agree to ~eps-effects on one step
+    cfg_o = dataclasses.replace(cfg, train=TrainConfig(lr_staircase=False))
+    state_o = create_train_state(model, cfg_o.train, x, cfg.model.n_samples)
+    step_o = make_train_step(model, cfg_o, tx=make_optimizer(cfg_o.train),
+                             donate=False)
+    s1, _ = step(create_train_state(model, cfg.train, x, cfg.model.n_samples),
+                 batch)
+    s2, _ = step_o(state_o, batch)
+    d1 = np.asarray(jax.tree.leaves(s1.params)[0])
+    d2 = np.asarray(jax.tree.leaves(s2.params)[0])
+    np.testing.assert_allclose(d1, d2, atol=5e-5)
+
+
 def test_multi_step_scan_equals_single_steps():
     """lax.scan of n steps == n individual steps, bit-for-bit: per-step RNG
     derives from (rng, step) so the scan carries identical randomness."""

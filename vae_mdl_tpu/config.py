@@ -115,7 +115,11 @@ class TrainConfig:
     lr_staircase: bool = True
     lr_staircase_base: int = 7000
     lr_staircase_levels: int = 8
-    optimizer: str = "adam"  # "adamax" is the reference's commented alternative
+    # "adamax" is the reference's commented alternative; "adam_keras" is the
+    # reference's EXACT Adam formulation (eps=1e-7 on the uncorrected sqrt(v),
+    # train/state.keras_adam) — the default optax.adam deviates negligibly
+    # (eps=1e-8, bias-corrected denominator; PARITY.md quirks)
+    optimizer: str = "adam"
     grad_accum_steps: int = 1  # >1: optax.MultiSteps gradient accumulation
     # >1: lax.scan that many updates per dispatched program (amortises host
     # overhead for small/fast models); must divide eval_interval & n_updates

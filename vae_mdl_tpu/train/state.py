@@ -47,6 +47,50 @@ class TrainState:
         }
 
 
+class KerasAdamState(struct.PyTreeNode):
+    count: jax.Array
+    m: Any
+    v: Any
+
+
+def keras_adam(learning_rate, b1: float = 0.9, b2: float = 0.999,
+               eps: float = 1e-7) -> optax.GradientTransformation:
+    """Adam in the reference's exact formulation: ``tf.keras.optimizers.Adam``
+    (/root/reference/models/model01.py:125) computes
+
+        lr_t = lr * sqrt(1 - b2^t) / (1 - b1^t)
+        w   -= lr_t * m / (sqrt(v) + eps),   eps = 1e-7
+
+    i.e. ``eps`` is added to the sqrt of the UNCORRECTED second moment, and
+    Keras's default eps is 1e-7. ``optax.adam`` instead adds its default
+    eps=1e-8 to the sqrt of the bias-CORRECTED moment — an update that
+    differs by an effective eps factor of sqrt(1 - b2^t). Negligible at
+    these gradient scales, but this transformation exists so a training run
+    can be optimizer-step-identical to the reference (``optimizer:
+    "adam_keras"``); pinned against a live tf.keras.optimizers.Adam in
+    tests/test_gradient_parity.py. The framework default stays
+    ``optax.adam`` (documented deviation, PARITY.md quirks)."""
+    def init_fn(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)  # noqa: E731
+        return KerasAdamState(jnp.zeros((), jnp.int32), zeros(), zeros())
+
+    def update_fn(updates, state, params=None):
+        del params
+        m = jax.tree.map(lambda m_, g: b1 * m_ + (1.0 - b1) * g,
+                         state.m, updates)
+        v = jax.tree.map(lambda v_, g: b2 * v_ + (1.0 - b2) * (g * g),
+                         state.v, updates)
+        t = (state.count + 1).astype(jnp.float32)
+        lr = learning_rate(state.count) if callable(learning_rate) \
+            else learning_rate
+        lr_t = lr * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        out = jax.tree.map(
+            lambda m_, v_: -lr_t * m_ / (jnp.sqrt(v_) + eps), m, v)
+        return out, KerasAdamState(state.count + 1, m, v)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     schedule = (
         staircase_schedule(cfg.learning_rate, cfg.lr_staircase_base,
@@ -54,7 +98,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         if cfg.lr_staircase
         else constant_schedule(cfg.learning_rate)
     )
-    opts: dict[str, Callable] = {"adam": optax.adam, "adamax": optax.adamax}
+    opts: dict[str, Callable] = {"adam": optax.adam, "adamax": optax.adamax,
+                                 "adam_keras": keras_adam}
     tx = opts[cfg.optimizer](learning_rate=schedule)
     if cfg.grad_accum_steps > 1:
         # large effective batches without the memory (not in the reference;
