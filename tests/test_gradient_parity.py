@@ -298,6 +298,64 @@ def test_model05_loss_and_grad_parity(tmp_path):
                         tf_grads, g, tol=5e-3)
 
 
+def test_model02_loss_and_grad_parity(tmp_path):
+    """Conv + Gaussian obs (model02.py): completes the likelihood-family
+    matrix (bernoulli 01 / gaussian 02 / dl 06 / mdl 05). The Gaussian head
+    is Normal(mu, exp(logstd)) on the split decoder output
+    (model02.py:90-93 / nn.decoders.make_observation)."""
+    from vae_mdl_tpu.models.zoo import MODEL02
+
+    # Keras layer init consumes a GLOBAL TF RNG: pin it so the
+    # mirror's weight draw (and so the comparison's conditioning)
+    # cannot depend on whatever Keras work ran earlier in the suite
+    tf.keras.utils.set_random_seed(13)
+    rng = np.random.default_rng(4)
+    B, k, nz = 2, 2, 20
+    x = (rng.integers(0, 256, (B, 32, 32, 3)).astype(np.float32) / 255.0)
+    eps = rng.standard_normal((k, B, nz)).astype(np.float32)
+
+    enc = _Enc05(n_latent=nz)  # relu conv skeleton, model02.py:32-47
+    dec = _Dec05(n_head=6)  # model02's 6-channel (mu, logstd) head
+    enc(tf.constant(x))
+    dec(tf.constant(np.zeros((1, nz), np.float32)))  # build
+    entries = _entries_conv(enc, dec)
+    prefix = str(tmp_path / "best")
+    _write_ref_ckpt(prefix, entries)
+    model, params = _init_params(MODEL02, jnp.asarray(x))
+    params = load_reference_weights(prefix, "model02", params)
+
+    x_rep = np.broadcast_to(x, (k,) + x.shape)
+    with tf.GradientTape() as tape:
+        mu, logstd = enc(tf.constant(x))
+        std = tf.nn.softplus(logstd)
+        z = mu[None] + std[None] * tf.constant(eps)  # [k,B,nz]
+        head = tf.reshape(dec(tf.reshape(z, [k * B, nz])),
+                          [k, B, 32, 32, 6])
+        mu_x, ls_x = tf.split(head, 2, axis=-1)
+        lpxz = tf.reduce_sum(
+            _tf_normal_lp(tf.constant(x_rep), mu_x, tf.exp(ls_x)),
+            axis=[-1, -2, -3])
+        lqzx = tf.reduce_sum(_tf_normal_lp(z, mu[None], std[None]), axis=-1)
+        lpz = tf.reduce_sum(_tf_normal_lp(z, 0.0, 1.0), axis=-1)
+        loss_tf = _tf_iwae(lpxz + lpz - lqzx, k)
+    tf_grads = tape.gradient(loss_tf, _grad_targets(entries))
+
+    def loss_fn(p):
+        q = model.apply(p, jnp.asarray(x), method=lambda m, a: m.encoder(a))
+        z_j = q.loc + q.scale * jnp.asarray(eps)
+        obs = model.apply(p, z_j, method=lambda m, a: m.decoder(a))
+        pz = Normal(jnp.zeros((nz,)), jnp.ones((nz,)), event_axes=(-1,))
+        loss, _ = iwae_loss(jnp.asarray(x), z_j, pz, q, obs)
+        return loss
+
+    loss_jx, g = jax.value_and_grad(loss_fn)(params)
+
+    np.testing.assert_allclose(float(loss_jx), float(loss_tf),
+                               rtol=1e-5, atol=5e-4)
+    _assert_grads_match(_mapping_for("model02", params), entries,
+                        tf_grads, g, tol=1e-3)
+
+
 def test_model06_loss_and_grad_parity(tmp_path):
     """Two stochastic layers + DL obs (model06.py): the hierarchical bound
     (model06.py:38-72) end to end, including the exact (erf) gelu's

@@ -44,7 +44,10 @@ def test_two_process_data_parallel_training():
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        # generous: TWO worker processes compile the jitted step while the
+        # parent pytest process also holds this host's single core — 240s
+        # flaked once under full-suite contention with a cold XLA cache
+        out, _ = p.communicate(timeout=600)
         outs.append(out)
         assert p.returncode == 0, f"worker failed:\n{out}"
 
