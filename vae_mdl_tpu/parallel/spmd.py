@@ -256,3 +256,91 @@ def make_zero1_train_step(
         return mapped(state, batch)
 
     return jax.jit(step)
+
+
+# --- Elastic resume: ZeRO-1 checkpoints across topologies ---------------------
+
+
+def _mesh_ndev(mesh: Mesh) -> int:
+    ndev = 1
+    for a in mesh.axis_names:
+        ndev *= mesh.shape[a]
+    return ndev
+
+
+def reshard_zero1_opt_state(opt_state, params, mesh: Mesh):
+    """Re-lay a ZeRO-1 optimizer state out for ``mesh``.
+
+    The flat Adam moments are padded to a multiple of the device count
+    (``zero1_opt_state``), so a saved state's SHAPE encodes the topology it
+    was created on. The pad region is provably inert — pad gradients are
+    zero, so pad moments stay zero and pad parameter slots never move —
+    which makes a topology change exact: strip the old pad, re-pad for the
+    new device count, re-shard over the new mesh. Scalar leaves (step
+    counts) replicate. The reference has no analogue (single device,
+    weights-only checkpoints, SURVEY.md §5).
+    """
+    from jax.sharding import NamedSharding
+
+    n = sum(x.size for x in jax.tree.leaves(params))
+    n_pad = -(-n // _mesh_ndev(mesh)) * _mesh_ndev(mesh)
+
+    def fix(leaf):
+        if jnp.ndim(leaf) == 1 and leaf.shape[0] >= n:
+            flat = jnp.concatenate(
+                [leaf[:n], jnp.zeros(n_pad - n, leaf.dtype)])
+            return jax.device_put(
+                flat, NamedSharding(mesh, P(mesh.axis_names)))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree.map(fix, opt_state)
+
+
+def elastic_restore_zero1(ckptr, state: TrainState, mesh: Mesh,
+                          tag: str = "latest") -> TrainState:
+    """Restore a ZeRO-1 checkpoint saved under ANY device count onto ``mesh``.
+
+    TPU slices get resized between a preemption and its resume; a run
+    checkpointed on 8 chips may come back on 4 (degraded) or 16 (scale-up).
+    ``state`` is the template built under the NEW mesh (params replicated,
+    ``opt_state = zero1_opt_state(tx, params, mesh)``). The saved flat
+    moments carry the OLD topology's padded length, so a strict restore
+    into the new-shaped template would fail on shape: instead the saved
+    length is read from checkpoint metadata, the moments are restored at
+    that length (replicated — transiently 2x params per host, fine at any
+    size ZeRO-1 is worth using for), and ``reshard_zero1_opt_state``
+    re-pads and re-shards them for ``mesh``.
+    """
+    from jax.sharding import NamedSharding
+
+    n = sum(x.size for x in jax.tree.leaves(state.params))
+    n_pad_new = _padded_flat_size(state.params, _mesh_ndev(mesh))
+
+    meta = ckptr.metadata_tree(tag)
+    opt_meta = meta.get("opt_state") if hasattr(meta, "get") else None
+    saved_lens = {
+        m.shape[0]
+        for m in jax.tree.leaves(opt_meta)
+        if len(getattr(m, "shape", ())) == 1 and m.shape[0] >= n
+    }
+    if len(saved_lens) > 1:
+        raise ValueError(
+            f"checkpoint '{tag}' has flat moments of inconsistent lengths "
+            f"{sorted(saved_lens)}; not a ZeRO-1 state")
+    n_pad_old = saved_lens.pop() if saved_lens else n_pad_new
+
+    if n_pad_old == n_pad_new:  # same topology (or metadata unavailable)
+        return ckptr.restore(state, tag)
+
+    repl = NamedSharding(mesh, P())
+
+    def widen(leaf):
+        if jnp.ndim(leaf) == 1 and leaf.shape[0] == n_pad_new:
+            return jax.device_put(jnp.zeros(n_pad_old, leaf.dtype), repl)
+        return leaf
+
+    old_shaped = state.replace(
+        opt_state=jax.tree.map(widen, state.opt_state))
+    restored = ckptr.restore(old_shaped, tag)
+    return restored.replace(opt_state=reshard_zero1_opt_state(
+        restored.opt_state, restored.params, mesh))

@@ -120,6 +120,19 @@ class Checkpointer:
             )
             return has_ema
 
+    def metadata_tree(self, tag: str = "latest"):
+        """Leaf metadata (shape/dtype per saved array) of the checkpoint at
+        ``tag`` as a plain tree, or None when the metadata API is
+        unavailable. Used by ``parallel.spmd.elastic_restore_zero1`` to read
+        the device count a ZeRO-1 state was saved under."""
+        self.wait()
+        try:
+            meta = self._ckptr.metadata(self._path(tag))
+            tree = getattr(meta, "item_metadata", None) or meta
+            return getattr(tree, "tree", tree)
+        except (AttributeError, TypeError, KeyError, ValueError, OSError):
+            return None
+
     def saved_with_ema(self, tag: str = "latest") -> bool:
         """Public probe: does the checkpoint at ``tag`` carry an EMA copy?"""
         self.wait()
