@@ -149,6 +149,7 @@ class Trainer:
         self.logger = logger or MetricLogger(cfg.train.log_dir, cfg.model.name)
         self._report_jit = None
         self._stream = None  # lazily-started async device-prefetch stream
+        self._retrace_warned: set = set()
 
     # ------------------------------------------------------------------ utils
 
@@ -172,6 +173,31 @@ class Trainer:
                 sharding, np.asarray(batch), tuple(gshape)
             )
         return jax.device_put(batch, sharding)
+
+    def _check_retrace(self):
+        """Warn (once per function) if a hot-loop jit has recompiled.
+
+        A silent retrace in the training loop is a classic production
+        failure on TPU: an input-signature drift (shape, dtype, weak-type)
+        makes every step pay a full XLA compile instead of a device launch,
+        and nothing crashes — throughput just silently collapses. The step
+        functions take ``(state, batch)`` with fixed shapes, so exactly one
+        compiled variant is expected; checked at every eval interval.
+        """
+        for name, fn in (("train_step", self.train_step),
+                         ("eval_step", self.eval_step)):
+            cache_size = getattr(fn, "_cache_size", None)  # private jax API
+            if cache_size is None:
+                return
+            n = cache_size()
+            if n > 1 and name not in self._retrace_warned:
+                self._retrace_warned.add(name)
+                print(
+                    f"[trainer] WARNING: {name} has {n} compiled variants — "
+                    "an input signature (shape/dtype/weak-type) is drifting "
+                    "between calls and every retrace stalls training for a "
+                    "full XLA compile"
+                )
 
     # ------------------------------------------------------------------ loop
 
@@ -315,6 +341,7 @@ class Trainer:
                 imgs_per_sec = window_imgs / dt if dt > 0 else 0.0
 
                 val_metrics = self.eval_step(self.state, self._put(next(self.val_iter)))
+                self._check_retrace()
                 val_loss = float(val_metrics["loss"])
                 self.logger.scalars(i, val_metrics, prefix="Evaluation")
                 self.logger.scalars(
