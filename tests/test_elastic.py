@@ -95,6 +95,39 @@ def test_plain_state_restores_across_meshes(tmp_path):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_elastic_restore_names_unreadable_metadata():
+    """When checkpoint metadata is unreadable AND the strict restore fails,
+    the error names the real failure mode (saved device count unknown on a
+    possibly-resized slice) instead of surfacing orbax's opaque shape
+    mismatch; when the strict restore succeeds (topology unchanged), the
+    restored state passes through."""
+    cfg = _cfg()
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x_f32 = jnp.zeros((24, 28, 28, 1))
+    state = create_train_state(model, cfg.train, x_f32, cfg.model.n_samples)
+    mesh = _submesh(4)
+    template = state.replace(
+        opt_state=zero1_opt_state(tx, state.params, mesh))
+
+    class NoMetaCkptr:
+        def __init__(self, fail):
+            self.fail = fail
+
+        def metadata_tree(self, tag):
+            return None
+
+        def restore(self, target, tag):
+            if self.fail:
+                raise ValueError("shape mismatch deep inside orbax")
+            return target
+
+    with pytest.raises(ValueError, match="metadata is unreadable"):
+        elastic_restore_zero1(NoMetaCkptr(fail=True), template, mesh)
+    out = elastic_restore_zero1(NoMetaCkptr(fail=False), template, mesh)
+    assert out is template
+
+
 @pytest.mark.parametrize("ndev_old,ndev_new", [(8, 3), (3, 8)])
 def test_zero1_elastic_restore_across_device_counts(
     tmp_path, ndev_old, ndev_new

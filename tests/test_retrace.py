@@ -55,6 +55,23 @@ def test_scanned_multistep_compiles_once(capsys):
     assert "WARNING" not in capsys.readouterr().out
 
 
+def test_guard_checks_each_fn_independently(capsys):
+    """A step fn without the private ``_cache_size`` hook (a future jax
+    rename, or a non-jit wrapper) must not silently disable the guard for
+    the OTHER step fns — eval_step drift is still caught when train_step
+    is uninspectable."""
+    tmp = tempfile.mkdtemp()
+    tr = Trainer(_tiny_cfg(tmp))
+    batch = np.zeros((32, 28, 28, 1), np.uint8)
+    tr.eval_step(tr.state, jnp.asarray(batch))
+    tr.eval_step(tr.state, jnp.asarray(batch, jnp.float32) / 255.0)
+    assert tr.eval_step._cache_size() == 2
+    real = tr.train_step
+    tr.train_step = lambda s, b: real(s, b)  # no _cache_size attr
+    tr._check_retrace()
+    assert "eval_step has 2 compiled variants" in capsys.readouterr().out
+
+
 def test_retrace_warns_once(capsys):
     """A drifting input signature triggers one loud warning, not one per
     eval interval."""

@@ -137,9 +137,7 @@ def zero1_opt_state(tx: optax.GradientTransformation, params, mesh: Mesh):
     from jax.flatten_util import ravel_pytree
     from jax.sharding import NamedSharding
 
-    ndev = 1
-    for a in mesh.axis_names:
-        ndev *= mesh.shape[a]
+    ndev = mesh.size
     flat, _ = ravel_pytree(params)
     n_pad = -(-flat.size // ndev) * ndev
     flat = jnp.concatenate([flat, jnp.zeros(n_pad - flat.size, flat.dtype)])
@@ -173,9 +171,7 @@ def make_zero1_train_step(
     prior = prior_for(cfg.model)
     k = cfg.model.n_samples
     axes = mesh.axis_names
-    ndev = 1
-    for a in axes:
-        ndev *= mesh.shape[a]
+    ndev = mesh.size
 
     def per_device_step(state: TrainState, batch: jax.Array):
         rngs = state.next_rngs("sample", "binarize", "flip")
@@ -261,13 +257,6 @@ def make_zero1_train_step(
 # --- Elastic resume: ZeRO-1 checkpoints across topologies ---------------------
 
 
-def _mesh_ndev(mesh: Mesh) -> int:
-    ndev = 1
-    for a in mesh.axis_names:
-        ndev *= mesh.shape[a]
-    return ndev
-
-
 def reshard_zero1_opt_state(opt_state, params, mesh: Mesh):
     """Re-lay a ZeRO-1 optimizer state out for ``mesh``.
 
@@ -283,7 +272,7 @@ def reshard_zero1_opt_state(opt_state, params, mesh: Mesh):
     from jax.sharding import NamedSharding
 
     n = sum(x.size for x in jax.tree.leaves(params))
-    n_pad = -(-n // _mesh_ndev(mesh)) * _mesh_ndev(mesh)
+    n_pad = _padded_flat_size(params, mesh.size)
 
     def fix(leaf):
         if jnp.ndim(leaf) == 1 and leaf.shape[0] >= n:
@@ -314,9 +303,23 @@ def elastic_restore_zero1(ckptr, state: TrainState, mesh: Mesh,
     from jax.sharding import NamedSharding
 
     n = sum(x.size for x in jax.tree.leaves(state.params))
-    n_pad_new = _padded_flat_size(state.params, _mesh_ndev(mesh))
+    n_pad_new = _padded_flat_size(state.params, mesh.size)
 
     meta = ckptr.metadata_tree(tag)
+    if meta is None:
+        # Saved shapes unknown — a strict restore is only correct when the
+        # topology is unchanged. Try it, but name the real failure mode
+        # instead of letting orbax surface an opaque shape mismatch.
+        try:
+            return ckptr.restore(state, tag)
+        except Exception as e:
+            raise ValueError(
+                f"checkpoint '{tag}': metadata is unreadable, so the device "
+                f"count it was saved under cannot be determined, and a "
+                f"strict restore onto the current {mesh.size}-device mesh "
+                f"failed — if the slice was resized since the save, resume "
+                f"on the original topology (or repair the checkpoint "
+                f"metadata) first") from e
     opt_meta = meta.get("opt_state") if hasattr(meta, "get") else None
     saved_lens = {
         m.shape[0]
@@ -329,7 +332,7 @@ def elastic_restore_zero1(ckptr, state: TrainState, mesh: Mesh,
             f"{sorted(saved_lens)}; not a ZeRO-1 state")
     n_pad_old = saved_lens.pop() if saved_lens else n_pad_new
 
-    if n_pad_old == n_pad_new:  # same topology (or metadata unavailable)
+    if n_pad_old == n_pad_new:  # same topology (or not a ZeRO-1 state)
         return ckptr.restore(state, tag)
 
     repl = NamedSharding(mesh, P())

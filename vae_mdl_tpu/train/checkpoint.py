@@ -85,40 +85,48 @@ class Checkpointer:
         API shape changes, and warns — a silent False here would surface
         later as an opaque pytree-structure mismatch on restore.
         """
+        tree = self._metadata_tree(path)
+        if tree is not None:
+            try:
+                return tree.get("ema_params") is not None
+            except (AttributeError, TypeError, KeyError):
+                pass  # tree shape unexpected: use the on-disk probe
+        # on-disk probe: the checkpoint's _METADATA json lists every tree
+        # leaf; a no-EMA save has exactly one ('ema_params',) entry with
+        # value_type "None", an EMA save has ('ema_params', 'params', ...)
+        # array entries
+        import json
+        import warnings
+
+        has_ema = False
+        try:
+            with open(os.path.join(path, "_METADATA")) as f:
+                tree = json.load(f).get("tree_metadata", {})
+            has_ema = any(
+                key.startswith("('ema_params'")
+                and (entry.get("value_metadata") or {}).get("value_type")
+                != "None"
+                for key, entry in tree.items()
+            )
+        except (OSError, json.JSONDecodeError):
+            pass  # no _METADATA either: treat as no-EMA
+        warnings.warn(
+            "orbax metadata inspection failed; fell back to the on-disk "
+            f"_METADATA probe for ema_params (found={has_ema})"
+        )
+        return has_ema
+
+    def _metadata_tree(self, path: str):
+        """Orbax leaf metadata at ``path`` unwrapped to a plain tree, or
+        None when the metadata API is unavailable — the ONE place that
+        knows the unwrap dance (``_saved_with_ema`` and ``metadata_tree``
+        both build on it)."""
         try:
             meta = self._ckptr.metadata(path)
             tree = getattr(meta, "item_metadata", None) or meta
-            tree = getattr(tree, "tree", tree)
-            return tree.get("ema_params") is not None
-        except (AttributeError, TypeError, KeyError, ValueError, OSError) as e:
-            # OSError covers FileNotFoundError on partially-written/foreign
-            # checkpoint dirs whose orbax metadata file is absent — exactly
-            # the case the on-disk fallback below exists for
-            # on-disk probe: the checkpoint's _METADATA json lists every tree
-            # leaf; a no-EMA save has exactly one ('ema_params',) entry with
-            # value_type "None", an EMA save has ('ema_params', 'params', ...)
-            # array entries
-            import json
-            import warnings
-
-            has_ema = False
-            try:
-                with open(os.path.join(path, "_METADATA")) as f:
-                    tree = json.load(f).get("tree_metadata", {})
-                has_ema = any(
-                    key.startswith("('ema_params'")
-                    and (entry.get("value_metadata") or {}).get("value_type")
-                    != "None"
-                    for key, entry in tree.items()
-                )
-            except (OSError, json.JSONDecodeError):
-                pass  # no _METADATA either: treat as no-EMA
-            warnings.warn(
-                f"orbax metadata inspection failed ({type(e).__name__}: {e}); "
-                f"fell back to the on-disk _METADATA probe for ema_params "
-                f"(found={has_ema})"
-            )
-            return has_ema
+            return getattr(tree, "tree", tree)
+        except (AttributeError, TypeError, KeyError, ValueError, OSError):
+            return None
 
     def metadata_tree(self, tag: str = "latest"):
         """Leaf metadata (shape/dtype per saved array) of the checkpoint at
@@ -126,12 +134,7 @@ class Checkpointer:
         unavailable. Used by ``parallel.spmd.elastic_restore_zero1`` to read
         the device count a ZeRO-1 state was saved under."""
         self.wait()
-        try:
-            meta = self._ckptr.metadata(self._path(tag))
-            tree = getattr(meta, "item_metadata", None) or meta
-            return getattr(tree, "tree", tree)
-        except (AttributeError, TypeError, KeyError, ValueError, OSError):
-            return None
+        return self._metadata_tree(self._path(tag))
 
     def saved_with_ema(self, tag: str = "latest") -> bool:
         """Public probe: does the checkpoint at ``tag`` carry an EMA copy?"""

@@ -188,7 +188,7 @@ class Trainer:
                          ("eval_step", self.eval_step)):
             cache_size = getattr(fn, "_cache_size", None)  # private jax API
             if cache_size is None:
-                return
+                continue  # keep checking the other step fns
             n = cache_size()
             if n > 1 and name not in self._retrace_warned:
                 self._retrace_warned.add(name)
