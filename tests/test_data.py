@@ -39,6 +39,28 @@ def test_epoch_batches_shuffles_per_epoch_deterministically():
     assert not np.array_equal(a[0], x)  # shuffled
 
 
+def test_epoch_batches_start_step_seeks_exactly():
+    """A stream seeked to start_step yields exactly what an identically
+    seeded stream yields after start_step next() calls — including across
+    epoch boundaries (22 images / batch 4 -> 5 batches per epoch, seek 12
+    lands mid-epoch-2)."""
+    x = np.arange(22, dtype=np.uint8).reshape(22, 1, 1, 1)
+    y = np.zeros(22, np.int32)
+    ref = epoch_batches((x, y), 4, seed=3)
+    for _ in range(12):
+        next(ref)
+    seeked = epoch_batches((x, y), 4, seed=3, start_step=12)
+    for _ in range(9):  # crosses into epoch 3
+        np.testing.assert_array_equal(next(ref), next(seeked))
+    # unshuffled streams seek too
+    ref = epoch_batches((x, y), 4, seed=0, shuffle=False)
+    next(ref)
+    np.testing.assert_array_equal(
+        next(epoch_batches((x, y), 4, seed=0, shuffle=False, start_step=1)),
+        next(ref),
+    )
+
+
 def test_shard_arrays_disjoint_cover():
     x = np.arange(10, dtype=np.uint8).reshape(10, 1, 1, 1)
     y = np.arange(10, dtype=np.int32)

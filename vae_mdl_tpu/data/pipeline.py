@@ -79,10 +79,21 @@ def shard_arrays(arrays: Arrays, process_index: int, process_count: int) -> Arra
 
 
 def epoch_batches(
-    arrays: Arrays, batch_size: int, seed: int, shuffle: bool = True
+    arrays: Arrays, batch_size: int, seed: int, shuffle: bool = True,
+    start_step: int = 0,
 ) -> Iterator[np.ndarray]:
     """Infinite stream of image batches; fresh permutation per epoch,
-    remainder dropped (static shapes for XLA)."""
+    remainder dropped (static shapes for XLA).
+
+    ``start_step`` seeks the stream: the first yielded batch is the one an
+    identically-seeded stream would yield after ``start_step`` ``next()``
+    calls. This makes resume DATA-deterministic — a preempted run that
+    restarts at step S consumes the exact batch sequence an uninterrupted
+    run would have (the rest of the training path is already
+    resume-deterministic via step-derived rngs, train/state.py). Seeking
+    replays only the per-epoch permutation draws, never the data — O(one
+    permutation per elapsed epoch), bit-identical to plain iteration.
+    """
     x, _ = arrays
     n = len(x)
     if batch_size > n:
@@ -91,10 +102,17 @@ def epoch_batches(
             "remainder-dropping epoch stream would never yield"
         )
     rng = np.random.default_rng(seed)
+    batches_per_epoch = (n - batch_size) // batch_size + 1
+    epochs_done, offset = divmod(start_step, batches_per_epoch)
+    if shuffle:
+        for _ in range(epochs_done):  # advance the rng exactly as iteration
+            rng.permutation(n)
     while True:
         order = rng.permutation(n) if shuffle else np.arange(n)
-        for start in range(0, n - batch_size + 1, batch_size):
+        for start in range(offset * batch_size, n - batch_size + 1,
+                           batch_size):
             yield x[order[start:start + batch_size]]
+        offset = 0
 
 
 def device_prefetch(it: Iterator[np.ndarray], size: int = 2, put=None) -> Iterator:
@@ -159,10 +177,12 @@ def iterators_from_splits(
     process_index: int = 0,
     process_count: int = 1,
     batch_multiple: int = 1,
+    start_step: int = 0,
 ):
     """Build (train_iter, val_iter, test arrays) from already-loaded splits
     (lets callers that also need the raw arrays — e.g. the device-resident
-    dataset path — load the data exactly once)."""
+    dataset path — load the data exactly once). ``start_step`` seeks the
+    train stream for data-deterministic resume (``epoch_batches``)."""
     train = shard_arrays(splits.train, process_index, process_count)
     val = shard_arrays(splits.val, process_index, process_count)
 
@@ -171,6 +191,7 @@ def iterators_from_splits(
     vbs = min(val_batch_size, len(val[0]))
     vbs = max(batch_multiple, vbs // batch_multiple * batch_multiple)
 
-    train_iter = epoch_batches(train, batch_size, seed, shuffle=True)
+    train_iter = epoch_batches(train, batch_size, seed, shuffle=True,
+                               start_step=start_step)
     val_iter = epoch_batches(val, vbs, seed + 1, shuffle=False)
     return train_iter, val_iter, splits.test

@@ -62,6 +62,7 @@ class Trainer:
         )
 
         self._splits = None
+        self._iter_kw = None  # set iff the trainer owns its data pipeline
         if data is None:
             from vae_mdl_tpu.data.pipeline import (
                 iterators_from_splits,
@@ -72,15 +73,15 @@ class Trainer:
                 cfg.data.dataset, cfg.data.data_dir,
                 allow_synthetic_fallback=not cfg.data.strict,
             )
-            data = iterators_from_splits(
-                self._splits,
-                local_bs,
-                local_val_bs,
+            self._iter_kw = dict(
+                batch_size=local_bs,
+                val_batch_size=local_val_bs,
                 seed=cfg.data.seed,
                 process_index=jax.process_index(),
                 process_count=n_proc,
                 batch_multiple=local_mult,
             )
+            data = iterators_from_splits(self._splits, **self._iter_kw)
         self.train_iter, self.val_iter, self.test_set = data
 
         example = jnp.asarray(next(self.val_iter)).astype(jnp.float32) / 255.0
@@ -248,6 +249,17 @@ class Trainer:
             from vae_mdl_tpu.data.pipeline import device_prefetch
 
             src = self.train_iter
+            if start_step and self._iter_kw is not None:
+                # data-deterministic resume: seek the trainer-owned train
+                # stream to the checkpointed step, so the resumed run
+                # consumes the exact batch sequence an uninterrupted run
+                # would (the step-derived rngs already make everything else
+                # deterministic; see tests/test_train.py)
+                from vae_mdl_tpu.data.pipeline import iterators_from_splits
+
+                src, _, _ = iterators_from_splits(
+                    self._splits, start_step=start_step, **self._iter_kw)
+                self.train_iter = src
             if spc > 1:
                 # stack spc batches -> one [spc, B, ...] scan input
                 def stacked(it=src, n=spc):
