@@ -259,6 +259,54 @@ def test_zero1_sharded_optimizer_matches_shard_map_step():
     assert jax.tree.leaves(s_z.params)[0].sharding.is_fully_replicated
 
 
+def test_grad_skip_under_mesh_paths():
+    """grad_skip_threshold on the shard_map and ZeRO-1 paths: the collective
+    grad-norm (pmean'd grads / psum of sharded slice sumsq) is consistent
+    across devices, an always-exceeded threshold leaves params bit-identical
+    while the step advances, and the two paths agree with each other on what
+    the global gradient norm IS (they share the per-device rng scheme; the
+    jit path draws different binarisation noise, so it's not comparable)."""
+    from vae_mdl_tpu.parallel.spmd import (
+        make_shard_map_train_step,
+        make_zero1_train_step,
+        zero1_opt_state,
+    )
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, grad_skip_threshold=1e-9))
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x_f32 = jnp.zeros((16, 28, 28, 1))
+    state = create_train_state(model, cfg.train, x_f32, cfg.model.n_samples)
+    batch = np.random.default_rng(0).integers(
+        0, 256, (16, 28, 28, 1), dtype=np.uint8
+    )
+    mesh = make_mesh(MeshConfig(data=8, sample=1))
+    xb = shard_batch(mesh, batch)
+
+    s_sm = shard_state(mesh, state)
+    s_sm, m_sm = make_shard_map_train_step(model, cfg, tx, mesh)(s_sm, xb)
+    s_z = state.replace(
+        params=shard_state(mesh, state.params),
+        rng=shard_state(mesh, state.rng),
+        step=shard_state(mesh, state.step),
+        best_val_loss=shard_state(mesh, state.best_val_loss),
+        opt_state=zero1_opt_state(tx, state.params, mesh),
+    )
+    s_z, m_z = make_zero1_train_step(model, cfg, tx, mesh)(s_z, xb)
+
+    for m, s in ((m_sm, s_sm), (m_z, s_z)):
+        assert float(m["skipped"]) == 1.0
+        assert int(s.step) == 1
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(s.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # full-gradient norm (pmean'd) == psum of the scattered slices' sumsq
+    assert float(m_z["grad_norm"]) == pytest.approx(
+        float(m_sm["grad_norm"]), rel=1e-5)
+
+
 def test_trainer_and_eval_handle_indivisible_batches_under_mesh():
     """Regression: val sets / eval batch sizes that don't divide the data
     axis (e.g. digits' 297-image val set) must be rounded, not crash."""

@@ -76,6 +76,26 @@ def test_training_reduces_loss_and_resumes():
     assert restored_loss == pytest.approx(loss_after, rel=1e-5)
 
 
+def test_resume_is_data_deterministic():
+    """Preempt + resume consumes the IDENTICAL batch sequence as an
+    uninterrupted run: final params bit-equal. The step-derived rngs make
+    everything else deterministic already; this pins the remaining piece —
+    the trainer seeks its epoch stream to the checkpointed step instead of
+    replaying data from the start (the reference can't do this at all: its
+    tf.data iterator state is unrecoverable, SURVEY.md §5)."""
+    tmp_a, tmp_b = tempfile.mkdtemp(), tempfile.mkdtemp()
+    s_a = Trainer(_tiny_cfg(tmp_a, n_updates=40)).fit(progress=False)
+    Trainer(_tiny_cfg(tmp_b, n_updates=20)).fit(progress=False)
+    s_b = Trainer(_tiny_cfg(tmp_b, n_updates=40)).fit(progress=False)
+    assert int(s_b.step) == 40
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(s_a.opt_state), jax.tree.leaves(s_b.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_latest_checkpoint_carries_updated_best_val_loss(tmp_path):
     """The 'latest' save must include the eval's best_val_loss update: a
     'latest' carrying the stale (higher) threshold would, after a
@@ -175,6 +195,89 @@ def test_gradient_accumulation():
     state2, _ = step(state1, batch)
     p2 = jax.tree.leaves(state2.params)[0]
     assert not np.array_equal(np.asarray(p1), np.asarray(p2))  # applied
+
+
+def _state_and_step(cfg):
+    from vae_mdl_tpu.models.vae import build_model
+    from vae_mdl_tpu.train.steps import make_train_step
+
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x0 = jnp.zeros((8, 28, 28, 1), jnp.float32)
+    state = create_train_state(model, cfg.train, x0, cfg.model.n_samples)
+    return state, make_train_step(model, cfg, tx, donate=False)
+
+
+def test_grad_skip_threshold_skips_whole_update():
+    """With an always-exceeded threshold the step advances but params,
+    optimizer moments and EMA stay bit-identical, and the skip is counted;
+    with a never-exceeded threshold the update applies normally."""
+    base = experiment("model01")
+    base = dataclasses.replace(
+        base, data=DataConfig(dataset="synthetic:mnist", batch_size=8))
+    batch = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (8, 28, 28, 1), dtype=np.uint8))
+
+    cfg = dataclasses.replace(base, train=dataclasses.replace(
+        base.train, grad_skip_threshold=1e-9, ema_decay=0.99))
+    state, step = _state_and_step(cfg)
+    new, m = step(state, batch)
+    assert float(m["skipped"]) == 1.0
+    assert float(m["grad_norm"]) > 1e-9
+    assert int(new.step) == 1  # schedule/data keep moving
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(new.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.ema_params),
+                    jax.tree.leaves(new.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cfg = dataclasses.replace(base, train=dataclasses.replace(
+        base.train, grad_skip_threshold=1e9))
+    state, step = _state_and_step(cfg)
+    new, m = step(state, batch)
+    assert float(m["skipped"]) == 0.0
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(new.params))
+    )
+
+
+def test_update_ok_rule():
+    from vae_mdl_tpu.train.steps import update_ok
+
+    nan = jnp.asarray(jnp.nan)
+    one = jnp.asarray(1.0)
+    assert bool(update_ok(one, one, 10.0))
+    assert not bool(update_ok(nan, one, 10.0))  # non-finite loss
+    assert not bool(update_ok(one, nan, 10.0))  # non-finite grads
+    assert not bool(update_ok(one, jnp.asarray(11.0), 10.0))  # blown up
+
+
+def test_grad_clip_norm_bounds_the_update():
+    """grad_clip_norm is wired into the optimizer chain: a tight clip
+    changes the first update, a loose clip is a no-op vs unclipped."""
+    base = experiment("model01")
+    base = dataclasses.replace(
+        base, data=DataConfig(dataset="synthetic:mnist", batch_size=8))
+    batch = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (8, 28, 28, 1), dtype=np.uint8))
+
+    outs = {}
+    for clip in (0.0, 1e-3, 1e9):
+        cfg = dataclasses.replace(base, train=dataclasses.replace(
+            base.train, grad_clip_norm=clip))
+        state, step = _state_and_step(cfg)
+        new, m = step(state, batch)
+        outs[clip] = np.concatenate(
+            [np.ravel(np.asarray(p)) for p in jax.tree.leaves(new.params)])
+        gnorm = float(m["grad_norm"])
+    assert gnorm > 1e-3  # the tight clip actually binds at init
+    assert not np.array_equal(outs[0.0], outs[1e-3])
+    np.testing.assert_array_equal(outs[0.0], outs[1e9])
 
 
 def test_adam_keras_optimizer_trains():

@@ -121,6 +121,16 @@ class TrainConfig:
     # (eps=1e-8, bias-corrected denominator; PARITY.md quirks)
     optimizer: str = "adam"
     grad_accum_steps: int = 1  # >1: optax.MultiSteps gradient accumulation
+    # >0: clip gradients to this global norm before the update (standard
+    # hierarchical-VAE stability practice, e.g. VDVAE's 200; not in the
+    # reference — production extension)
+    grad_clip_norm: float = 0.0
+    # >0: SKIP the whole update — params, optimizer moments, EMA — when the
+    # global gradient norm is non-finite or exceeds this threshold (VDVAE's
+    # skip rule). The step counter still advances (schedule and data keep
+    # moving); skips are counted in metrics["skipped"]. Applies to the jit,
+    # scanned, device-resident, shard_map and ZeRO-1 paths alike.
+    grad_skip_threshold: float = 0.0
     # >1: lax.scan that many updates per dispatched program (amortises host
     # overhead for small/fast models); must divide eval_interval & n_updates
     steps_per_call: int = 1

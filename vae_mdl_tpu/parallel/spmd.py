@@ -36,7 +36,7 @@ from jax import shard_map
 from vae_mdl_tpu.config import ExperimentConfig
 from vae_mdl_tpu.models.objective import compute_loss
 from vae_mdl_tpu.models.vae import prior_for
-from vae_mdl_tpu.train.steps import preprocess_train
+from vae_mdl_tpu.train.steps import preprocess_train, skip_select, update_ok
 from vae_mdl_tpu.train.state import TrainState, ema_update
 
 
@@ -88,18 +88,27 @@ def make_shard_map_train_step(
         metrics = jax.tree.map(lambda m: jax.lax.pmean(jnp.mean(m), axes),
                                metrics)
 
+        gnorm = optax.global_norm(grads)  # grads pmean'd: same on every dev
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if cfg.train.grad_skip_threshold > 0:
+            ok = update_ok(loss, gnorm, cfg.train.grad_skip_threshold)
+            params = skip_select(ok, params, state.params)
+            opt_state = skip_select(ok, opt_state, state.opt_state)
+            metrics["skipped"] = (~ok).astype(jnp.float32)
         ema = state.ema_params
         if cfg.train.ema_decay > 0 and ema is not None:
             # params are exactly replicated after the pmean'd update, so the
             # per-device EMA stays replicated too
-            ema = ema_update(cfg.train.ema_decay, ema, params)
+            new_ema = ema_update(cfg.train.ema_decay, ema, params)
+            ema = (skip_select(ok, new_ema, ema)
+                   if cfg.train.grad_skip_threshold > 0 else new_ema)
         new_state = state.replace(
             params=params, opt_state=opt_state, step=state.step + 1,
             ema_params=ema,
         )
         metrics["loss"] = loss
+        metrics["grad_norm"] = gnorm
         return new_state, metrics
 
     replicated = P()
@@ -206,20 +215,33 @@ def make_zero1_train_step(
         pflat = jnp.concatenate([pflat, jnp.zeros(n_pad - n, pflat.dtype)])
         p_mine = jax.lax.dynamic_slice_in_dim(pflat, didx * shard, shard)
 
+        loss = jax.lax.pmean(loss, axes)
+        # ||mean grad||: each device holds a disjoint slice of the mean
+        # gradient (pad region is zero), so the global norm is one psum away
+        gnorm = jnp.sqrt(jax.lax.psum(jnp.sum(g_mine * g_mine), axes))
+
         updates, opt_state = tx.update(g_mine, state.opt_state, p_mine)
         new_p_mine = optax.apply_updates(p_mine, updates)
+        if cfg.train.grad_skip_threshold > 0:
+            ok = update_ok(loss, gnorm, cfg.train.grad_skip_threshold)
+            new_p_mine = skip_select(ok, new_p_mine, p_mine)
+            opt_state = skip_select(ok, opt_state, state.opt_state)
 
         new_flat = jax.lax.all_gather(new_p_mine, axes, tiled=True)
         new_params = punravel(new_flat[:n])
 
-        loss = jax.lax.pmean(loss, axes)
         metrics = jax.tree.map(lambda m: jax.lax.pmean(jnp.mean(m), axes),
                                metrics)
         metrics["loss"] = loss
+        metrics["grad_norm"] = gnorm
+        if cfg.train.grad_skip_threshold > 0:
+            metrics["skipped"] = (~ok).astype(jnp.float32)
         ema = state.ema_params
         if cfg.train.ema_decay > 0 and ema is not None:
             # EMA over the all-gathered (replicated) params
-            ema = ema_update(cfg.train.ema_decay, ema, new_params)
+            new_ema = ema_update(cfg.train.ema_decay, ema, new_params)
+            ema = (skip_select(ok, new_ema, ema)
+                   if cfg.train.grad_skip_threshold > 0 else new_ema)
         new_state = state.replace(
             params=new_params, opt_state=opt_state, step=state.step + 1,
             ema_params=ema,

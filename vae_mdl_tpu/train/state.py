@@ -101,6 +101,11 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     opts: dict[str, Callable] = {"adam": optax.adam, "adamax": optax.adamax,
                                  "adam_keras": keras_adam}
     tx = opts[cfg.optimizer](learning_rate=schedule)
+    if cfg.grad_clip_norm > 0:
+        # clip BEFORE the optimizer (and before any accumulation, so each
+        # micro-batch gradient is clipped individually)
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
     if cfg.grad_accum_steps > 1:
         # large effective batches without the memory (not in the reference;
         # production extension)

@@ -29,6 +29,19 @@ def _scalarize(metrics):
     return jax.tree.map(jnp.mean, metrics)
 
 
+def skip_select(ok: jax.Array, new_tree, old_tree):
+    """Per-leaf ``where(ok, new, old)`` — the branchless update/skip used by
+    every train-step body when ``grad_skip_threshold`` is set (lax.cond
+    would force both branches to materialise anyway; a select fuses)."""
+    return jax.tree.map(lambda a, b: jnp.where(ok, a, b), new_tree, old_tree)
+
+
+def update_ok(loss: jax.Array, gnorm: jax.Array, threshold: float):
+    """VDVAE's skip rule: the update applies iff loss and global grad norm
+    are finite and the norm is under the threshold."""
+    return jnp.isfinite(loss) & jnp.isfinite(gnorm) & (gnorm < threshold)
+
+
 def preprocess(cfg: ExperimentConfig, batch: jax.Array, key: jax.Array) -> jax.Array:
     """uint8 batch -> model input, on device."""
     x = dequantize(batch) if jnp.issubdtype(batch.dtype, jnp.integer) else batch
@@ -70,17 +83,28 @@ def _train_step_body(model, cfg: ExperimentConfig,
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        out = _scalarize(metrics)
+        if cfg.train.grad_skip_threshold > 0:
+            # skip the whole update (params, moments, EMA) on a blown-up or
+            # non-finite gradient; the step counter still advances
+            ok = update_ok(loss, gnorm, cfg.train.grad_skip_threshold)
+            params = skip_select(ok, params, state.params)
+            opt_state = skip_select(ok, opt_state, state.opt_state)
+            out["skipped"] = (~ok).astype(jnp.float32)
         ema = state.ema_params
         if cfg.train.ema_decay > 0 and ema is not None:
-            ema = ema_update(cfg.train.ema_decay, ema, params)
+            new_ema = ema_update(cfg.train.ema_decay, ema, params)
+            ema = (skip_select(ok, new_ema, ema)
+                   if cfg.train.grad_skip_threshold > 0 else new_ema)
         new_state = state.replace(
             params=params, opt_state=opt_state, step=state.step + 1,
             ema_params=ema,
         )
-        out = _scalarize(metrics)
         out["loss"] = loss
+        out["grad_norm"] = gnorm
         return new_state, out
 
     return step
