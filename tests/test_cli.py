@@ -16,6 +16,18 @@ def test_parser_covers_protocol():
     assert args.mesh == "4x2"
 
 
+def test_parser_wires_grad_stability_flags():
+    from vae_mdl_tpu.cli.run import _apply_overrides
+    from vae_mdl_tpu.models.zoo import experiment
+
+    p = build_parser()
+    args = p.parse_args(["train", "model01", "--grad-clip", "200",
+                         "--grad-skip", "400"])
+    cfg = _apply_overrides(experiment("model01"), args)
+    assert cfg.train.grad_clip_norm == 200.0
+    assert cfg.train.grad_skip_threshold == 400.0
+
+
 def test_parser_accepts_registered_models():
     """Models added via zoo.register_model are runnable from the CLI —
     the choices list is read off the registry at parse time."""

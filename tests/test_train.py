@@ -38,6 +38,20 @@ def test_staircase_schedule_parity():
     assert float(sched(10_000_000)) == pytest.approx(1e-4, rel=1e-5)
 
 
+def test_warmup_composes_with_staircase():
+    """Linear 0->lr over warmup_steps, base schedule untouched afterwards."""
+    from vae_mdl_tpu.train.schedule import with_warmup
+
+    base = staircase_schedule(1e-3, 7000, 8)
+    sched = with_warmup(base, 100)
+    assert float(sched(0)) == pytest.approx(1e-3 / 100)
+    assert float(sched(49)) == pytest.approx(1e-3 * 0.5)
+    assert float(sched(99)) == pytest.approx(1e-3)
+    for step in (100, 7000, 14000):  # past warmup: exactly the staircase
+        assert float(sched(step)) == pytest.approx(float(base(step)))
+    assert with_warmup(base, 0) is base
+
+
 def _tiny_cfg(tmp, n_updates=40, eval_interval=20):
     cfg = experiment("model01")
     return dataclasses.replace(
@@ -93,6 +107,64 @@ def test_resume_is_data_deterministic():
     for a, b in zip(
         jax.tree.leaves(s_a.opt_state), jax.tree.leaves(s_b.opt_state)
     ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_snapshot_checkpoints_rotate_and_restore():
+    """snapshot_interval writes immutable step_<N> checkpoints at the eval
+    cadence, rotated to the newest max_snapshots; a snapshot restores as a
+    full TrainState at exactly its step; latest/best are never pruned; an
+    off-cadence interval is rejected up front."""
+    tmp = tempfile.mkdtemp()
+    cfg = _tiny_cfg(tmp, n_updates=50, eval_interval=10)
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, snapshot_interval=10, max_snapshots=2))
+    tr = Trainer(cfg)
+    tr.fit(progress=False)
+    # snapshots at loop values 10..40 -> steps 11..41, newest 2 kept
+    assert tr.ckpt.snapshots() == ["step_31", "step_41"]
+    assert tr.ckpt.has("latest") and tr.ckpt.has("best")
+
+    fresh = Trainer(dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, resume=False)))
+    restored = fresh.ckpt.restore(fresh.state, "step_31")
+    assert int(restored.step) == 31
+
+    bad = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, snapshot_interval=15))
+    with pytest.raises(ValueError, match="snapshot_interval"):
+        Trainer(bad)
+
+
+def test_restore_weights_across_optimizer_flags():
+    """A checkpoint trained WITH grad_clip_norm (the optax.chain changes
+    the opt_state pytree structure) still evaluates in a process without
+    the flag: restore_weights restores params/step (and EMA when present),
+    deliberately ignoring the optimizer state eval never uses."""
+    tmp = tempfile.mkdtemp()
+    cfg = _tiny_cfg(tmp, n_updates=4, eval_interval=2)
+    cfg_clip = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, grad_clip_norm=100.0, ema_decay=0.9))
+    trained = Trainer(cfg_clip).fit(progress=False)
+
+    cfg_plain = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, resume=False))
+    tr = Trainer(cfg_plain)
+    with pytest.raises(Exception):  # full restore refuses: structure mismatch
+        tr.ckpt.restore(tr.state, "latest")
+    st = tr.ckpt.restore_weights(tr.state, "latest")
+    assert int(st.step) == 4
+    for a, b in zip(jax.tree.leaves(trained.params), jax.tree.leaves(st.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert st.ema_params is None  # target without EMA stays without
+
+    # target WITH ema picks up the checkpoint's EMA copy
+    cfg_ema = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, resume=False, ema_decay=0.9))
+    tr2 = Trainer(cfg_ema)
+    st2 = tr2.ckpt.restore_weights(tr2.state, "latest")
+    for a, b in zip(jax.tree.leaves(trained.ema_params),
+                    jax.tree.leaves(st2.ema_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
@@ -274,7 +346,10 @@ def test_grad_clip_norm_bounds_the_update():
         new, m = step(state, batch)
         outs[clip] = np.concatenate(
             [np.ravel(np.asarray(p)) for p in jax.tree.leaves(new.params)])
-        gnorm = float(m["grad_norm"])
+        if clip:
+            gnorm = float(m["grad_norm"])  # reported (pre-clip) when on
+        else:
+            assert "grad_norm" not in m  # hot path untouched when off
     assert gnorm > 1e-3  # the tight clip actually binds at init
     assert not np.array_equal(outs[0.0], outs[1e-3])
     np.testing.assert_array_equal(outs[0.0], outs[1e9])

@@ -59,6 +59,15 @@ def _apply_overrides(cfg, args):
         train = dataclasses.replace(train, ema_decay=args.ema)
     if getattr(args, "bound_logstd", False):
         model = dataclasses.replace(model, bound_logstd=True)
+    if getattr(args, "grad_clip", None) is not None:
+        train = dataclasses.replace(train, grad_clip_norm=args.grad_clip)
+    if getattr(args, "grad_skip", None) is not None:
+        train = dataclasses.replace(train, grad_skip_threshold=args.grad_skip)
+    if getattr(args, "snapshot_interval", None) is not None:
+        train = dataclasses.replace(
+            train, snapshot_interval=args.snapshot_interval)
+    if getattr(args, "max_snapshots", None) is not None:
+        train = dataclasses.replace(train, max_snapshots=args.max_snapshots)
     return dataclasses.replace(cfg, model=model, data=data, train=train)
 
 
@@ -215,7 +224,7 @@ def cmd_eval(args) -> None:
     # multi-host: without this, every host would redundantly evaluate the
     # full test set (process_count stays 1) against a local-only mesh
     init_distributed()
-    cfg = _apply_overrides(experiment(args.model), args)
+    cfg = _no_resume(_apply_overrides(experiment(args.model), args))
     mesh = _make_mesh_or_none(args.mesh, cfg.mesh)
     trainer = Trainer(cfg, mesh=mesh)
     _restore_weights(trainer, cfg, args, "eval")
@@ -233,24 +242,34 @@ def cmd_eval(args) -> None:
           f"bpd: {metrics['bpd']:.4f}")
 
 
+def _no_resume(cfg):
+    """eval/sample/export configs: skip the Trainer's full-state
+    auto-resume — these consumers restore weights-only via
+    ``_restore_weights`` (robust to optimizer-flag differences between the
+    training run and this invocation, e.g. a --grad-clip-trained
+    checkpoint evaluated without the flag)."""
+    return dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, resume=False))
+
+
 def _restore_weights(trainer, cfg, args, what: str) -> None:
     """Shared eval/sample/export preamble: a --from-reference import beats
-    the Orbax restore; either way say which weights are in play."""
+    the Orbax restore; either way say which weights are in play.
+    Weights-only (``Checkpointer.restore_weights``): the optimizer state's
+    structure may differ from this invocation's flags and is never used."""
     if args.from_reference:
         _import_reference(trainer, cfg, args.from_reference, what)
-    elif trainer.ckpt.has(args.ckpt):
-        trainer.state = trainer.ckpt.restore(trainer.state, args.ckpt)
-        print(f"[{what}] loaded '{args.ckpt}' at step "
-              f"{int(trainer.state.step)}")
-        _warn_dropped_ema(trainer, cfg, args.ckpt, what)
-    else:
-        # Trainer.__init__ auto-resumes 'latest' (or 'best' as fallback)
-        # when one exists (resume defaults True) — report what is actually
-        # in the state
-        step = int(trainer.state.step)
-        have = (f"auto-resumed checkpoint at step {step}" if step > 0
-                else "INIT weights")
-        print(f"[{what}] WARNING: no '{args.ckpt}' checkpoint; using {have}")
+        return
+    for tag in (args.ckpt, "latest", "best"):
+        if trainer.ckpt.has(tag):
+            trainer.state = trainer.ckpt.restore_weights(trainer.state, tag)
+            note = "" if tag == args.ckpt else \
+                f" (no '{args.ckpt}' checkpoint; fell back)"
+            print(f"[{what}] loaded '{tag}' at step "
+                  f"{int(trainer.state.step)}{note}")
+            _warn_dropped_ema(trainer, cfg, tag, what)
+            return
+    print(f"[{what}] WARNING: no '{args.ckpt}' checkpoint; using INIT weights")
 
 
 def _warn_dropped_ema(trainer, cfg, tag: str, what: str) -> None:
@@ -278,7 +297,7 @@ def cmd_sample(args) -> None:
     from vae_mdl_tpu.utils.images import fill_canvas, save_png
 
     init_distributed()
-    cfg = _apply_overrides(experiment(args.model), args)
+    cfg = _no_resume(_apply_overrides(experiment(args.model), args))
     trainer = Trainer(cfg, mesh=_make_mesh_or_none(args.mesh, cfg.mesh))
     _restore_weights(trainer, cfg, args, "sample")
     sampler = make_sampler(trainer.model, cfg.model)
@@ -300,7 +319,7 @@ def cmd_export(args) -> None:
     from vae_mdl_tpu.train.state import eval_params
     from vae_mdl_tpu.train.trainer import Trainer
 
-    cfg = _apply_overrides(experiment(args.model), args)
+    cfg = _no_resume(_apply_overrides(experiment(args.model), args))
     # an EXPLICIT --mesh embeds the multi-device serving layout in the
     # artifact; the default stays a single-device export regardless of how
     # many chips the exporting host has
@@ -400,6 +419,18 @@ def build_parser() -> argparse.ArgumentParser:
                         help="fused Pallas likelihood kernels (default auto: "
                              "MoDL kernel on TPU, off elsewhere)")
         sp.add_argument("--no-resume", action="store_true")
+        sp.add_argument("--snapshot-interval", type=int, metavar="STEPS",
+                        help="also keep immutable step_<N> snapshot "
+                             "checkpoints every STEPS (multiple of "
+                             "--eval-interval)")
+        sp.add_argument("--max-snapshots", type=int, metavar="N",
+                        help="rotate snapshots, keeping the newest N "
+                             "(default 3)")
+        sp.add_argument("--grad-clip", type=float, metavar="NORM",
+                        help="clip gradients to this global norm")
+        sp.add_argument("--grad-skip", type=float, metavar="THRESHOLD",
+                        help="skip updates whose global grad norm is "
+                             "non-finite or exceeds this (VDVAE skip rule)")
         sp.add_argument("--ema", type=float, metavar="DECAY",
                         help="per-step EMA decay of the params (e.g. 0.999); "
                              "val/test/report then use the EMA weights")
@@ -429,7 +460,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp_eval = sub.add_parser("eval", help="5000-IS test evaluation")
     common(sp_eval)
-    sp_eval.add_argument("--ckpt", default="best", choices=["best", "latest"])
+    sp_eval.add_argument("--ckpt", default="best",
+                         help="checkpoint tag: best, latest, or a "
+                              "step_<N> snapshot")
     sp_eval.set_defaults(fn=cmd_eval)
 
     sp_sample = sub.add_parser("sample", help="generate images from the prior")
@@ -437,7 +470,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp_sample.add_argument("--n", type=int, default=64)
     sp_sample.add_argument("--out", default=None, help="output PNG path")
     sp_sample.add_argument("--ckpt", default="best",
-                           choices=["best", "latest"])
+                           help="checkpoint tag: best, latest, or a "
+                                "step_<N> snapshot")
     sp_sample.set_defaults(fn=cmd_sample)
 
     sp_export = sub.add_parser(
@@ -451,7 +485,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp_export.add_argument("--out", default=None,
                            help="output path (.stablehlo)")
     sp_export.add_argument("--ckpt", default="best",
-                           choices=["best", "latest"])
+                           help="checkpoint tag: best, latest, or a "
+                                "step_<N> snapshot")
     sp_export.add_argument("--platforms", default=None,
                            help="comma-separated lowering targets, e.g. "
                                 "'tpu,cpu' (default: this process's "

@@ -115,6 +115,9 @@ class TrainConfig:
     lr_staircase: bool = True
     lr_staircase_base: int = 7000
     lr_staircase_levels: int = 8
+    # >0: linear warmup 0 -> lr over this many steps, composed with the
+    # base schedule (production extension; the reference has none)
+    lr_warmup_steps: int = 0
     # "adamax" is the reference's commented alternative; "adam_keras" is the
     # reference's EXACT Adam formulation (eps=1e-7 on the uncorrected sqrt(v),
     # train/state.keras_adam) — the default optax.adam deviates negligibly
@@ -142,6 +145,12 @@ class TrainConfig:
     checkpoint_dir: str = "./saved_models"
     log_dir: str = "/tmp/tensorboard"
     resume: bool = True  # auto-resume from the latest full-state checkpoint
+    # >0: also write an immutable 'step_<N>' snapshot checkpoint at every
+    # snapshot_interval steps (must be a multiple of eval_interval), rotated
+    # to the newest max_snapshots — post-hoc analysis / rollback points
+    # beyond the mutable latest/best pair (production extension)
+    snapshot_interval: int = 0
+    max_snapshots: int = 3
     # >0: keep an exponential moving average of the params (decay per step);
     # val/test/report then use the EMA weights (standard hierarchical-VAE
     # practice, e.g. VDVAE; not in the reference — production extension)

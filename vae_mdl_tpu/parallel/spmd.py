@@ -88,7 +88,10 @@ def make_shard_map_train_step(
         metrics = jax.tree.map(lambda m: jax.lax.pmean(jnp.mean(m), axes),
                                metrics)
 
-        gnorm = optax.global_norm(grads)  # grads pmean'd: same on every dev
+        want_gnorm = (cfg.train.grad_skip_threshold > 0
+                      or cfg.train.grad_clip_norm > 0)
+        if want_gnorm:  # grads pmean'd: same value on every device
+            gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if cfg.train.grad_skip_threshold > 0:
@@ -108,7 +111,8 @@ def make_shard_map_train_step(
             ema_params=ema,
         )
         metrics["loss"] = loss
-        metrics["grad_norm"] = gnorm
+        if want_gnorm:
+            metrics["grad_norm"] = gnorm
         return new_state, metrics
 
     replicated = P()
@@ -216,9 +220,12 @@ def make_zero1_train_step(
         p_mine = jax.lax.dynamic_slice_in_dim(pflat, didx * shard, shard)
 
         loss = jax.lax.pmean(loss, axes)
-        # ||mean grad||: each device holds a disjoint slice of the mean
-        # gradient (pad region is zero), so the global norm is one psum away
-        gnorm = jnp.sqrt(jax.lax.psum(jnp.sum(g_mine * g_mine), axes))
+        want_gnorm = (cfg.train.grad_skip_threshold > 0
+                      or cfg.train.grad_clip_norm > 0)
+        if want_gnorm:
+            # ||mean grad||: each device holds a disjoint slice of the mean
+            # gradient (pad is zero), so the global norm is one psum away
+            gnorm = jnp.sqrt(jax.lax.psum(jnp.sum(g_mine * g_mine), axes))
 
         updates, opt_state = tx.update(g_mine, state.opt_state, p_mine)
         new_p_mine = optax.apply_updates(p_mine, updates)
@@ -233,7 +240,8 @@ def make_zero1_train_step(
         metrics = jax.tree.map(lambda m: jax.lax.pmean(jnp.mean(m), axes),
                                metrics)
         metrics["loss"] = loss
-        metrics["grad_norm"] = gnorm
+        if want_gnorm:
+            metrics["grad_norm"] = gnorm
         if cfg.train.grad_skip_threshold > 0:
             metrics["skipped"] = (~ok).astype(jnp.float32)
         ema = state.ema_params

@@ -47,6 +47,33 @@ class Checkpointer:
     def wait(self) -> None:
         self._ckptr.wait_until_finished()
 
+    def snapshots(self) -> list:
+        """``step_<N>`` snapshot tags on disk, oldest first."""
+        import re
+
+        found = []
+        for d in os.listdir(self.base):
+            m = re.fullmatch(r"step_(\d+)", d)
+            if m and os.path.isdir(self._path(d)):
+                found.append((int(m.group(1)), d))
+        return [tag for _, tag in sorted(found)]
+
+    def prune_snapshots(self, keep: int) -> None:
+        """Delete the oldest snapshots beyond ``keep`` (never touches
+        ``latest``/``best``); joins in-flight saves first so a snapshot
+        still being written is not removed under the writer."""
+        import shutil
+
+        # join in-flight saves FIRST: an async snapshot only appears on disk
+        # when its rename-into-place completes, so listing before the join
+        # would undercount and keep one stale snapshot forever
+        self.wait()
+        tags = self.snapshots()
+        drop = tags[:-keep] if keep > 0 else tags
+        if drop and jax.process_index() == 0:  # one deleter on a shared FS
+            for tag in drop:
+                shutil.rmtree(self._path(tag), ignore_errors=True)
+
     def restore(self, target: TrainState, tag: str = "latest") -> TrainState:
         """Restore into ``target``'s structure, tolerating an EMA mismatch.
 
@@ -76,6 +103,37 @@ class Checkpointer:
                 ema_params=jax.tree.map(jnp.copy, restored.params)
             )
         return self._ckptr.restore(path, target)
+
+    def restore_weights(self, target: TrainState, tag: str = "best") -> TrainState:
+        """Weights-centric restore for eval/sample/export: params, step and
+        (when both sides carry it) ema_params. The optimizer state is
+        deliberately NOT restored — its pytree structure legitimately
+        varies with training flags (the grad_clip_norm optax.chain,
+        grad_accum MultiSteps), and these consumers never touch it, so a
+        full-structure `restore` would needlessly refuse a checkpoint
+        trained under different optimizer settings. EMA reconciliation
+        matches `restore`: a target that wants EMA but a checkpoint without
+        one seeds the EMA from the restored params."""
+        self.wait()
+        path = self._path(tag)
+        import orbax.checkpoint.args as ocp_args
+
+        tpl = {"params": target.params, "step": target.step}
+        want_ema = target.ema_params is not None
+        if want_ema and self._saved_with_ema(path):
+            tpl["ema_params"] = target.ema_params
+        restorer = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        try:
+            out = restorer.restore(
+                path, args=ocp_args.PyTreeRestore(
+                    item=tpl, partial_restore=True))
+        finally:
+            restorer.close()
+        new = target.replace(params=out["params"], step=out["step"])
+        if want_ema:
+            new = new.replace(ema_params=out.get(
+                "ema_params", jax.tree.map(jnp.copy, out["params"])))
+        return new
 
     def _saved_with_ema(self, path: str) -> bool:
         """True iff the checkpoint at ``path`` carries an ema_params subtree

@@ -36,3 +36,20 @@ def constant_schedule(base_lr: float = 1e-3):
         return jnp.asarray(base_lr, jnp.float32)
 
     return schedule
+
+
+def with_warmup(schedule, warmup_steps: int):
+    """Linear warmup 0 -> schedule(step) over the first ``warmup_steps``
+    steps, composing with any base schedule (standard large-batch /
+    hierarchical-VAE practice; not in the reference — production
+    extension). At step >= warmup_steps the base schedule applies
+    unchanged, so the staircase's milestones are unaffected."""
+    if warmup_steps <= 0:
+        return schedule
+
+    def warmed(step):
+        step = jnp.asarray(step, jnp.float32)
+        scale = jnp.minimum(1.0, (step + 1.0) / float(warmup_steps))
+        return scale * schedule(step)
+
+    return warmed

@@ -16,7 +16,11 @@ import optax
 from flax import struct
 
 from vae_mdl_tpu.config import TrainConfig
-from vae_mdl_tpu.train.schedule import constant_schedule, staircase_schedule
+from vae_mdl_tpu.train.schedule import (
+    constant_schedule,
+    staircase_schedule,
+    with_warmup,
+)
 
 
 @struct.dataclass
@@ -98,6 +102,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         if cfg.lr_staircase
         else constant_schedule(cfg.learning_rate)
     )
+    schedule = with_warmup(schedule, cfg.lr_warmup_steps)
     opts: dict[str, Callable] = {"adam": optax.adam, "adamax": optax.adamax,
                                  "adam_keras": keras_adam}
     tx = opts[cfg.optimizer](learning_rate=schedule)

@@ -83,14 +83,20 @@ def _train_step_body(model, cfg: ExperimentConfig,
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        gnorm = optax.global_norm(grads)
+        # grad_norm only when a stability feature asks for it: with both
+        # off, the compiled program is bit-identical to the tuned hot path
+        want_gnorm = (cfg.train.grad_skip_threshold > 0
+                      or cfg.train.grad_clip_norm > 0)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         out = _scalarize(metrics)
+        if want_gnorm:
+            out["grad_norm"] = optax.global_norm(grads)  # pre-clip
         if cfg.train.grad_skip_threshold > 0:
             # skip the whole update (params, moments, EMA) on a blown-up or
             # non-finite gradient; the step counter still advances
-            ok = update_ok(loss, gnorm, cfg.train.grad_skip_threshold)
+            ok = update_ok(loss, out["grad_norm"],
+                           cfg.train.grad_skip_threshold)
             params = skip_select(ok, params, state.params)
             opt_state = skip_select(ok, opt_state, state.opt_state)
             out["skipped"] = (~ok).astype(jnp.float32)
@@ -104,7 +110,6 @@ def _train_step_body(model, cfg: ExperimentConfig,
             ema_params=ema,
         )
         out["loss"] = loss
-        out["grad_norm"] = gnorm
         return new_state, out
 
     return step

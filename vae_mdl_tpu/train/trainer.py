@@ -115,6 +115,13 @@ class Trainer:
             raise ValueError(
                 "steps_per_call must divide eval_interval and n_updates"
             )
+        if (cfg.train.snapshot_interval
+                and cfg.train.snapshot_interval % cfg.train.eval_interval):
+            # snapshots piggyback on the eval cadence; an off-cadence
+            # interval would silently never fire
+            raise ValueError(
+                "snapshot_interval must be a multiple of eval_interval"
+            )
         self._device_data = None
         if cfg.train.device_dataset:
             from vae_mdl_tpu.train.steps import make_device_data_train_step
@@ -383,6 +390,12 @@ class Trainer:
                 self.ckpt.save(self.state, "latest")
                 if improved:
                     self.ckpt.save(self.state, "best")
+                snap = cfg.train.snapshot_interval
+                if snap and i > 0 and i % snap == 0:
+                    # immutable rollback point named by the TRUE step count
+                    # (evals run after the step(s) at loop value i)
+                    self.ckpt.save(self.state, f"step_{i + spc}")
+                    self.ckpt.prune_snapshots(cfg.train.max_snapshots)
 
                 window_t0 = time.perf_counter()
                 window_imgs = 0
