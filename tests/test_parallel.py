@@ -307,6 +307,80 @@ def test_grad_skip_under_mesh_paths():
         float(m_sm["grad_norm"]), rel=1e-5)
 
 
+def test_restore_weights_lands_on_the_target_mesh(tmp_path):
+    """Checkpointer.restore_weights (the eval/sample/export path) restores
+    onto the TEMPLATE leaves' shardings, not the checkpoint's saved layout:
+    a single-device-trained checkpoint restored into a mesh-sharded
+    template comes back living on the mesh."""
+    from vae_mdl_tpu.train.checkpoint import Checkpointer
+
+    cfg = _cfg()
+    model = build_model(cfg.model)
+    from vae_mdl_tpu.train.state import make_optimizer as mko
+    tx = mko(cfg.train)
+    x_f32 = jnp.zeros((16, 28, 28, 1))
+    state = create_train_state(model, cfg.train, x_f32, cfg.model.n_samples)
+    step = make_train_step(model, cfg, tx, donate=False)
+    state, _ = step(state, jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (16, 28, 28, 1), dtype=np.uint8)))
+    ck = Checkpointer(str(tmp_path), "rw", async_save=False)
+    ck.save(state, "latest")
+
+    mesh = make_mesh(MeshConfig(data=8, sample=1))
+    template = shard_state(
+        mesh, create_train_state(model, cfg.train, x_f32,
+                                 cfg.model.n_samples))
+    out = ck.restore_weights(template, "latest")
+    assert int(out.step) == 1
+    leaf = jax.tree.leaves(out.params)[0]
+    assert set(leaf.sharding.device_set) == set(mesh.devices.flat)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(out.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_zero1_clip_uses_the_collective_norm():
+    """grad_clip_norm on the ZeRO-1 path must clip by the GLOBAL gradient
+    norm: the optax chain's clip inside tx only sees this device's 1/ndev
+    slice (a local norm that under-clips and scales shards unevenly), so
+    the step pre-scales with the psum'd norm. Pinned by parity: with a
+    tightly binding clip, one ZeRO-1 step equals one shard_map step (whose
+    grads are pmean'd full-size, so ITS chain clip is trivially global)."""
+    from vae_mdl_tpu.parallel.spmd import (
+        make_shard_map_train_step,
+        make_zero1_train_step,
+        zero1_opt_state,
+    )
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, grad_clip_norm=0.01))
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x_f32 = jnp.zeros((16, 28, 28, 1))
+    state = create_train_state(model, cfg.train, x_f32, cfg.model.n_samples)
+    batch = np.random.default_rng(0).integers(
+        0, 256, (16, 28, 28, 1), dtype=np.uint8
+    )
+    mesh = make_mesh(MeshConfig(data=8, sample=1))
+    xb = shard_batch(mesh, batch)
+
+    s_sm = shard_state(mesh, state)
+    s_sm, m_sm = make_shard_map_train_step(model, cfg, tx, mesh)(s_sm, xb)
+    s_z = state.replace(
+        params=shard_state(mesh, state.params),
+        rng=shard_state(mesh, state.rng),
+        step=shard_state(mesh, state.step),
+        best_val_loss=shard_state(mesh, state.best_val_loss),
+        opt_state=zero1_opt_state(tx, state.params, mesh),
+    )
+    s_z, m_z = make_zero1_train_step(model, cfg, tx, mesh)(s_z, xb)
+
+    assert float(m_sm["grad_norm"]) > 0.01  # the clip really binds
+    for a, b in zip(jax.tree.leaves(s_sm.params), jax.tree.leaves(s_z.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_trainer_and_eval_handle_indivisible_batches_under_mesh():
     """Regression: val sets / eval batch sizes that don't divide the data
     axis (e.g. digits' 297-image val set) must be rounded, not crash."""

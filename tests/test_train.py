@@ -135,6 +135,19 @@ def test_snapshot_checkpoints_rotate_and_restore():
     with pytest.raises(ValueError, match="snapshot_interval"):
         Trainer(bad)
 
+    # a fit-time eval_interval override must re-satisfy the cadence too
+    with pytest.raises(ValueError, match="snapshot_interval"):
+        tr.fit(eval_interval=25, progress=False)
+
+    # max_snapshots < 1 would otherwise delete the snapshot just written
+    with pytest.raises(ValueError, match="max_snapshots"):
+        Trainer(dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, max_snapshots=0)))
+    # and prune with keep<=0 is keep-everything, not delete-everything
+    before = tr.ckpt.snapshots()
+    tr.ckpt.prune_snapshots(0)
+    assert tr.ckpt.snapshots() == before
+
 
 def test_restore_weights_across_optimizer_flags():
     """A checkpoint trained WITH grad_clip_norm (the optax.chain changes
@@ -316,6 +329,51 @@ def test_grad_skip_threshold_skips_whole_update():
         for a, b in zip(jax.tree.leaves(state.params),
                         jax.tree.leaves(new.params))
     )
+
+
+def test_clip_applies_per_microbatch_with_accumulation():
+    """With grad_accum_steps>1 the clip wraps OUTSIDE MultiSteps, so each
+    raw micro-batch gradient is clipped before accumulation — the
+    accumulator never sees an exploding micro-batch. Pinned on the
+    accumulator state itself (the applied update direction is too
+    Adam-normalised to distinguish the orders)."""
+    import optax
+
+    cfg = dataclasses.replace(TrainConfig(), grad_accum_steps=2,
+                              grad_clip_norm=1.0, lr_staircase=False)
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.zeros(4)}
+    st = tx.init(params)
+    g_big = {"w": jnp.full((4,), 100.0)}  # norm 200, way over the clip
+    _, st = tx.update(g_big, st, params)
+    ms_state = st[1]  # (clip EmptyState, MultiStepsState)
+    acc_norm = float(optax.global_norm(ms_state.acc_grads))
+    assert acc_norm <= 1.0 + 1e-5
+
+
+def test_scanned_skip_counts_whole_window():
+    """metrics['skipped'] from a steps_per_call scan is the SUM over the
+    window (last-only would read 0 while earlier steps skipped) and
+    grad_norm is the window max."""
+    from vae_mdl_tpu.models.vae import build_model
+    from vae_mdl_tpu.train.steps import make_multi_train_step
+
+    cfg = experiment("model01")
+    cfg = dataclasses.replace(
+        cfg,
+        data=DataConfig(dataset="synthetic:mnist", batch_size=8),
+        train=dataclasses.replace(cfg.train, grad_skip_threshold=1e-9),
+    )
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x0 = jnp.zeros((8, 28, 28, 1), jnp.float32)
+    state = create_train_state(model, cfg.train, x0, cfg.model.n_samples)
+    step = make_multi_train_step(model, cfg, tx, n_steps=4, donate=False)
+    batches = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (4, 8, 28, 28, 1), dtype=np.uint8))
+    new, m = step(state, batches)
+    assert float(m["skipped"]) == 4.0  # every step in the window skipped
+    assert int(new.step) == 4
 
 
 def test_update_ok_rule():

@@ -130,9 +130,13 @@ class TrainConfig:
     grad_clip_norm: float = 0.0
     # >0: SKIP the whole update — params, optimizer moments, EMA — when the
     # global gradient norm is non-finite or exceeds this threshold (VDVAE's
-    # skip rule). The step counter still advances (schedule and data keep
-    # moving); skips are counted in metrics["skipped"]. Applies to the jit,
-    # scanned, device-resident, shard_map and ZeRO-1 paths alike.
+    # skip rule). state.step still advances, so the data stream and the
+    # step-derived rngs keep moving; the OPTIMIZER's own count (which
+    # drives the LR schedule and Adam bias correction) rolls back with the
+    # rest of the optimizer state, i.e. the schedule position counts
+    # APPLIED updates, not attempted ones. Skips are counted in
+    # metrics["skipped"] (summed over a steps_per_call window). Applies to
+    # the jit, scanned, device-resident, shard_map and ZeRO-1 paths alike.
     grad_skip_threshold: float = 0.0
     # >1: lax.scan that many updates per dispatched program (amortises host
     # overhead for small/fast models); must divide eval_interval & n_updates

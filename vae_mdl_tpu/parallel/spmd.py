@@ -226,6 +226,15 @@ def make_zero1_train_step(
             # ||mean grad||: each device holds a disjoint slice of the mean
             # gradient (pad is zero), so the global norm is one psum away
             gnorm = jnp.sqrt(jax.lax.psum(jnp.sum(g_mine * g_mine), axes))
+        if cfg.train.grad_clip_norm > 0:
+            # clip HERE with the collective norm: the optax chain's
+            # clip_by_global_norm inside tx sees only this device's slice,
+            # so its local norm would under-clip (or scale shards by
+            # different factors). After this global scaling every shard's
+            # local norm is <= the threshold, making the inner clip an
+            # exact no-op — one clip, with the right norm.
+            g_mine = g_mine * jnp.minimum(
+                1.0, cfg.train.grad_clip_norm / jnp.maximum(gnorm, 1e-16))
 
         updates, opt_state = tx.update(g_mine, state.opt_state, p_mine)
         new_p_mine = optax.apply_updates(p_mine, updates)

@@ -61,15 +61,18 @@ class Checkpointer:
     def prune_snapshots(self, keep: int) -> None:
         """Delete the oldest snapshots beyond ``keep`` (never touches
         ``latest``/``best``); joins in-flight saves first so a snapshot
-        still being written is not removed under the writer."""
+        still being written is not removed under the writer. ``keep <= 0``
+        is a no-op (keep everything) — never an instruction to delete the
+        snapshot that was just written."""
         import shutil
 
+        if keep <= 0:
+            return
         # join in-flight saves FIRST: an async snapshot only appears on disk
         # when its rename-into-place completes, so listing before the join
         # would undercount and keep one stale snapshot forever
         self.wait()
-        tags = self.snapshots()
-        drop = tags[:-keep] if keep > 0 else tags
+        drop = self.snapshots()[:-keep]
         if drop and jax.process_index() == 0:  # one deleter on a shared FS
             for tag in drop:
                 shutil.rmtree(self._path(tag), ignore_errors=True)
@@ -124,9 +127,15 @@ class Checkpointer:
             tpl["ema_params"] = target.ema_params
         restorer = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
         try:
+            # restore ONTO the template leaves' shardings (mesh runs /
+            # multi-process): without explicit restore_args orbax would lay
+            # arrays out per the checkpoint metadata, not the target mesh
             out = restorer.restore(
                 path, args=ocp_args.PyTreeRestore(
-                    item=tpl, partial_restore=True))
+                    item=tpl,
+                    restore_args=ocp.checkpoint_utils.construct_restore_args(
+                        tpl),
+                    partial_restore=True))
         finally:
             restorer.close()
         new = target.replace(params=out["params"], step=out["step"])

@@ -106,15 +106,17 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     opts: dict[str, Callable] = {"adam": optax.adam, "adamax": optax.adamax,
                                  "adam_keras": keras_adam}
     tx = opts[cfg.optimizer](learning_rate=schedule)
-    if cfg.grad_clip_norm > 0:
-        # clip BEFORE the optimizer (and before any accumulation, so each
-        # micro-batch gradient is clipped individually)
-        tx = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
     if cfg.grad_accum_steps > 1:
         # large effective batches without the memory (not in the reference;
         # production extension)
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    if cfg.grad_clip_norm > 0:
+        # clip OUTSIDE the accumulation wrapper: the clip sees each raw
+        # micro-batch gradient individually, and MultiSteps accumulates the
+        # already-clipped gradients — one exploding micro-batch cannot ride
+        # into the average unclipped
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
     return tx
 
 

@@ -42,6 +42,20 @@ def update_ok(loss: jax.Array, gnorm: jax.Array, threshold: float):
     return jnp.isfinite(loss) & jnp.isfinite(gnorm) & (gnorm < threshold)
 
 
+def reduce_scan_metrics(metrics):
+    """Per-window metrics from a scanned multi-step: last value for
+    gauges, but ``skipped`` SUMS (the count of discarded updates in the
+    window — last-only would read 0 while 9 of 10 steps skipped) and
+    ``grad_norm`` takes the window max (the spike that triggers a skip is
+    exactly the value worth seeing)."""
+    out = jax.tree.map(lambda m: m[-1], metrics)
+    if "skipped" in metrics:
+        out["skipped"] = jnp.sum(metrics["skipped"])
+    if "grad_norm" in metrics:
+        out["grad_norm"] = jnp.max(metrics["grad_norm"])
+    return out
+
+
 def preprocess(cfg: ExperimentConfig, batch: jax.Array, key: jax.Array) -> jax.Array:
     """uint8 batch -> model input, on device."""
     x = dequantize(batch) if jnp.issubdtype(batch.dtype, jnp.integer) else batch
@@ -143,7 +157,7 @@ def make_multi_train_step(
 
     def multi(state: TrainState, batches: jax.Array):
         new_state, metrics = jax.lax.scan(step, state, batches)
-        return new_state, jax.tree.map(lambda m: m[-1], metrics)
+        return new_state, reduce_scan_metrics(metrics)
 
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
@@ -187,7 +201,7 @@ def make_device_data_train_step(
             return step(s, batch)
 
         new_state, metrics = jax.lax.scan(body, state, None, length=n_steps)
-        return new_state, jax.tree.map(lambda m: m[-1], metrics)
+        return new_state, reduce_scan_metrics(metrics)
 
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 

@@ -122,6 +122,10 @@ class Trainer:
             raise ValueError(
                 "snapshot_interval must be a multiple of eval_interval"
             )
+        if cfg.train.snapshot_interval and cfg.train.max_snapshots < 1:
+            raise ValueError(
+                "max_snapshots must be >= 1 when snapshots are enabled"
+            )
         self._device_data = None
         if cfg.train.device_dataset:
             from vae_mdl_tpu.train.steps import make_device_data_train_step
@@ -234,6 +238,13 @@ class Trainer:
         ):
             raise ValueError(
                 "steps_per_call must divide eval_interval and n_updates"
+            )
+        if (cfg.train.snapshot_interval
+                and cfg.train.snapshot_interval % eval_interval):
+            # an eval_interval OVERRIDE must re-satisfy the snapshot
+            # cadence too, or snapshots silently thin out / never fire
+            raise ValueError(
+                "snapshot_interval must be a multiple of eval_interval"
             )
         # profile start/stop aligned to loop iteration values (stride = spc)
         profile_at = (
