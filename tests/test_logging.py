@@ -18,7 +18,8 @@ def test_metric_logger_jsonl_and_images(tmp_path):
 
     jsonl = os.path.join(logger.dir, "metrics.jsonl")
     records = [json.loads(l) for l in open(jsonl)]
-    assert records[0] == {"step": 5, "loss": 1.25, "bpd": 0.5}
+    assert records[0] == {"step": 5, "prefix": "Evaluation",
+                          "loss": 1.25, "bpd": 0.5}
     assert records[1]["loss"] == 1.0
 
     # TensorBoard event file exists (tensorboardX is in this image)

@@ -43,6 +43,14 @@ def test_fit_compiles_each_step_exactly_once(capsys):
     assert tr.train_step._cache_size() == 1
     assert tr.eval_step._cache_size() == 1
     assert "WARNING" not in capsys.readouterr().out
+    # train-side metrics reach the logger (the reference created a train
+    # writer and never wrote to it — PARITY.md quirks)
+    import json
+    import os
+
+    jsonl = os.path.join(tr.logger.dir, "metrics.jsonl")
+    prefixes = {r.get("prefix") for r in map(json.loads, open(jsonl))}
+    assert {"Train", "Evaluation", "Perf"} <= prefixes
 
 
 def test_scanned_multistep_compiles_once(capsys):

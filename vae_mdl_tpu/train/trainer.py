@@ -373,6 +373,11 @@ class Trainer:
                 val_metrics = self.eval_step(self.state, self._put(next(self.val_iter)))
                 self._check_retrace()
                 val_loss = float(val_metrics["loss"])
+                # the most recent train-step metrics: the reference created
+                # a train writer and never wrote to it (PARITY.md quirks);
+                # here the stability signals (grad_norm, skipped) only
+                # exist train-side, so they'd be invisible otherwise
+                self.logger.scalars(i, metrics, prefix="Train")
                 self.logger.scalars(i, val_metrics, prefix="Evaluation")
                 self.logger.scalars(
                     i,

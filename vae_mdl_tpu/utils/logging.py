@@ -36,7 +36,10 @@ class MetricLogger:
             self._tb = None
 
     def scalars(self, step: int, metrics: Dict[str, float], prefix: str = "Evaluation"):
-        record = {"step": int(step)}
+        # the prefix makes jsonl records self-describing: Train/ and
+        # Evaluation/ share metric keys, so without it the stream would be
+        # ambiguous to offline consumers
+        record = {"step": int(step), "prefix": prefix}
         for name, value in metrics.items():
             v = float(np.asarray(value).mean())
             record[name] = v
