@@ -68,6 +68,36 @@ def test_cli_list(capsys):
     assert "model01" in out and "model06" in out
 
 
+@pytest.mark.parametrize("name", ["model01", "model05", "biladder_svhn"])
+def test_cli_describe(capsys, name):
+    """`describe` prints the model card for every config family (ModelConfig,
+    ladder dataclasses) without touching a device or a checkpoint."""
+    main(["describe", name, "--mesh", "4x2"])
+    out = capsys.readouterr().out
+    assert "parameters" in out and "train step" in out
+    assert "mesh plan" in out and "8 devices" in out
+    # the param census is a real eval_shape count, not a placeholder
+    import re
+
+    n = int(re.search(r"parameters\s+([\d,]+)", out).group(1).replace(",", ""))
+    assert n > 10_000
+
+
+def test_cli_describe_matches_flops_utils(capsys):
+    """The card's TFLOP/step agrees with utils.flops.train_step_flops."""
+    from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.utils.flops import train_step_flops
+
+    main(["describe", "model05"])
+    out = capsys.readouterr().out
+    import re
+
+    tf = float(re.search(r"([\d.]+) TFLOP/step", out).group(1))
+    cfg = experiment("model05")
+    assert abs(tf - train_step_flops(cfg.model, cfg.data.batch_size) / 1e12) \
+        < 0.001
+
+
 def test_cli_train_end_to_end(tmp_path, monkeypatch):
     """train -> checkpoints -> assets -> final eval, all through the CLI."""
     monkeypatch.chdir(tmp_path)

@@ -387,6 +387,48 @@ def test_update_ok_rule():
     assert not bool(update_ok(one, jnp.asarray(11.0), 10.0))  # blown up
 
 
+def test_beta_warmup_effective_beta():
+    """The annealed beta ramps linearly over beta_warmup_steps and is the
+    plain config float when the knob is off (bit-identical program)."""
+    from vae_mdl_tpu.train.steps import effective_beta
+
+    base = experiment("model01")
+    off = effective_beta(base, jnp.asarray(0, jnp.int32))
+    assert isinstance(off, float) and off == base.model.beta
+
+    cfg = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, beta_warmup_steps=10))
+    for step, expect in [(0, 0.1), (4, 0.5), (9, 1.0), (1000, 1.0)]:
+        got = float(effective_beta(cfg, jnp.asarray(step, jnp.int32)))
+        assert got == pytest.approx(expect * base.model.beta)
+
+
+def test_beta_warmup_anneals_the_train_bound():
+    """At step 0 a long warmup down-weights the KL term (higher bound,
+    lower loss than the un-annealed step); warmup=1 is already complete at
+    step 0 and reproduces the baseline loss exactly. The KL metric itself
+    is beta-independent (it reads the raw log-probs)."""
+    base = experiment("model01")
+    base = dataclasses.replace(
+        base, data=DataConfig(dataset="synthetic:mnist", batch_size=16))
+
+    def loss_at_step0(warmup):
+        cfg = dataclasses.replace(
+            base,
+            train=dataclasses.replace(base.train, beta_warmup_steps=warmup))
+        state, step = _state_and_step(cfg)
+        batch = jnp.zeros((16, 28, 28, 1), jnp.uint8) + 128
+        _, m = step(state, batch)
+        return float(m["loss"]), float(m["kl"])
+
+    loss0, kl0 = loss_at_step0(0)
+    loss_w, kl_w = loss_at_step0(1000)
+    loss_1, kl_1 = loss_at_step0(1)
+    assert kl_w == pytest.approx(kl0)  # metric reads raw log-probs
+    assert loss_w < loss0  # KL down-weighted at step 0
+    assert loss_1 == pytest.approx(loss0, rel=1e-6)  # ramp done at step 0
+
+
 def test_grad_clip_norm_bounds_the_update():
     """grad_clip_norm is wired into the optimizer chain: a tight clip
     changes the first update, a loose clip is a no-op vs unclipped."""

@@ -63,6 +63,8 @@ def _apply_overrides(cfg, args):
         train = dataclasses.replace(train, grad_clip_norm=args.grad_clip)
     if getattr(args, "grad_skip", None) is not None:
         train = dataclasses.replace(train, grad_skip_threshold=args.grad_skip)
+    if getattr(args, "beta_warmup", None) is not None:
+        train = dataclasses.replace(train, beta_warmup_steps=args.beta_warmup)
     if getattr(args, "snapshot_interval", None) is not None:
         train = dataclasses.replace(
             train, snapshot_interval=args.snapshot_interval)
@@ -241,6 +243,20 @@ def cmd_eval(args) -> None:
     print(f"[eval] {n_samples}-IS test LLH: {mean_llh:.2f} nats, "
           f"bpd: {metrics['bpd']:.4f}")
 
+    if args.active_units:
+        from vae_mdl_tpu.evaluation import active_units
+
+        test = trainer.test_set[0]
+        au = active_units(
+            trainer.model, cfg, eval_params(cfg.train, trainer.state),
+            test, batch_size=min(500, len(test)),
+        )
+        layers = ", ".join(
+            f"z{li + 1}: {a}/{d}"
+            for li, (a, d) in enumerate(zip(au["au"], au["n_dims"])))
+        print(f"[eval] active units (Cov_x(E_q[z|x]) > 0.01, Burda et al. "
+              f"2016): {layers}")
+
 
 def _no_resume(cfg):
     """eval/sample/export configs: skip the Trainer's full-state
@@ -389,6 +405,147 @@ def cmd_list(args) -> None:
               f"layer(s), latent {latent}, dataset {_DATASETS[name]}")
 
 
+def cmd_describe(args) -> None:
+    """Static model card: config, parameter/memory footprint, analytic
+    FLOPs, and the mesh plan — all via ``jax.eval_shape`` (no device
+    compute, no checkpoint needed). The reference offers nothing
+    comparable: its hyperparameters are constants scattered through each
+    model file (SURVEY.md §5 'Config / flag system: None')."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_mdl_tpu.models.vae import build_model
+    from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.nn.decoders import head_channels
+    from vae_mdl_tpu.utils.flops import (
+        V5E_PEAK_FLOPS,
+        forward_flops,
+        train_step_flops,
+    )
+
+    cfg = experiment(args.model)
+    m = cfg.model
+    if args.batch_size is not None:
+        cfg = _dc.replace(cfg, data=_dc.replace(cfg.data,
+                                                batch_size=args.batch_size))
+    if args.bf16:
+        m = _dc.replace(m, compute_dtype="bfloat16")
+        cfg = _dc.replace(cfg, model=m)
+    batch = cfg.data.batch_size
+
+    # parameter census without touching a device: trace init abstractly
+    model = build_model(m)
+    h, w, c = m.image_shape
+    k0, k1 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+
+    def _init(x):
+        return model.init({"params": k0, "sample": k1}, x, m.n_samples)
+
+    variables = jax.eval_shape(
+        _init, jax.ShapeDtypeStruct((2, h, w, c), jnp.float32))
+    leaves = jax.tree.leaves(variables)
+    n_params = sum(int(np.prod(l.shape)) for l in leaves)
+    params_mib = n_params * 4 / 2**20  # params are stored float32
+
+    # optimizer slot census (train/state.make_optimizer): adam family keeps
+    # two moments; MultiSteps accumulation adds one params-sized buffer;
+    # EMA adds one more copy of the params
+    slots = 2.0
+    if cfg.train.grad_accum_steps > 1:
+        slots += 1.0
+    if cfg.train.ema_decay > 0:
+        slots += 1.0
+    state_mib = params_mib * (1.0 + slots)
+
+    fwd = forward_flops(m, batch=1)
+    step = train_step_flops(m, batch)
+    ceiling = V5E_PEAK_FLOPS / (step / batch)
+
+    latent = (m.latents() if hasattr(m, "latents")
+              else f"spatial {m.top_latent_shape()}")
+    lk_head = head_channels(m.likelihood, c, m.n_mix)
+    if cfg.train.lr_staircase:
+        sched = (f"staircase(base {cfg.train.lr_staircase_base}, "
+                 f"{cfg.train.lr_staircase_levels} levels)")
+    else:
+        sched = "constant"
+    if cfg.train.lr_warmup_steps:
+        sched += f" + warmup {cfg.train.lr_warmup_steps}"
+    if m.use_pallas is None:
+        pallas = ("auto (fused MoDL kernel on TPU)"
+                  if m.likelihood in ("mdl", "pmdl")
+                  else "auto (n/a: no fused kernel default for this head)")
+    else:
+        pallas = "forced on" if m.use_pallas else "off"
+
+    def _flops(v: float) -> str:
+        return (f"{v / 1e9:.2f} GFLOP" if v >= 1e8
+                else f"{v / 1e6:.2f} MFLOP")
+
+    print(f"{args.model} — {m.likelihood} obs, {m.n_stochastic} "
+          f"stochastic layer(s)")
+    print(f"  dataset          {cfg.data.dataset} {m.image_shape}, "
+          f"batch {batch}")
+    print(f"  latents          {latent}")
+    print(f"  importance k     {m.n_samples} (train), "
+          f"{cfg.train.n_eval_samples} (final eval)")
+    print(f"  likelihood head  {m.likelihood}: {lk_head} channels"
+          + (f" (n_mix={m.n_mix})" if m.likelihood in ("mdl", "pmdl") else ""))
+    print(f"  compute dtype    {m.compute_dtype} "
+          f"(likelihood math always f32)")
+    print(f"  pallas           {pallas}")
+    beta = getattr(m, "beta", 1.0)
+    obj = getattr(m, "objective", "iwae")
+    print(f"  objective        {obj}, beta {beta}")
+    print(f"  optimizer        {cfg.train.optimizer}, "
+          f"lr {cfg.train.learning_rate:g}, {sched}")
+    print(f"  protocol         {cfg.train.n_updates:,} updates, "
+          f"eval every {cfg.train.eval_interval:,}")
+    print()
+    print(f"  parameters       {n_params:,}  ({params_mib:.1f} MiB f32)")
+    print(f"  train state      ~{state_mib:.1f} MiB "
+          f"(params + {slots:g} optimizer-side copies)")
+    print(f"  forward FLOPs    {_flops(fwd)}/img (k={m.n_samples})")
+    print(f"  train step       {_flops(step / batch)}/img — "
+          f"{step / 1e12:.3f} TFLOP/step at batch {batch}")
+    print(f"  v5e-1 ceiling    {ceiling:,.0f} imgs/s at 100% bf16 peak "
+          f"(197 TFLOP/s; measured MFU tables: docs/design.md §12)")
+
+    if args.mesh and args.mesh != "none":
+        parts = args.mesh.split("x")
+        try:
+            vals = [int(p) if p else 1 for p in parts]
+        except ValueError:
+            raise SystemExit(f"--mesh {args.mesh!r}: components must be "
+                             "integers (or 'none')")
+        vals += [1] * (3 - len(vals))
+        d, s, mm = vals[:3]
+        ndev = d * s * mm
+        print()
+        print(f"  mesh plan        (data={d}, sample={s}, model={mm}) = "
+              f"{ndev} devices")
+        # train shards the batch over ALL mesh axes flattened
+        # (parallel/spmd.py); the sample axis means importance-sample
+        # sharding inside the EVAL harness (evaluation/harness.py)
+        nb = d * s
+        div = "" if batch % max(nb, 1) == 0 else "  [! does not divide]"
+        print(f"    train batch    {batch} -> {batch // max(nb, 1)} "
+              f"per device (sharded over data x sample){div}")
+        ks = cfg.train.n_eval_samples
+        kdiv = "" if ks % max(s, 1) == 0 else "  [! does not divide]"
+        print(f"    eval IS axis   {ks} importance samples -> "
+              f"{ks // max(s, 1)} per sample-axis device{kdiv}")
+        if mm > 1:
+            print(f"    tensor par.    wide conv/dense kernels channel-"
+                  f"sharded over model={mm} (parallel/tensor.py)")
+        print(f"    optimizer      ZeRO-1 available: moments reduce-"
+              f"scattered over all {d * s * mm} devices "
+              f"(parallel/spmd.py)")
+
+
 def build_parser() -> argparse.ArgumentParser:
     # read at parse time so models added via zoo.register_model are
     # runnable from the CLI (docs/extending.md, examples/custom_model.py)
@@ -431,6 +588,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--grad-skip", type=float, metavar="THRESHOLD",
                         help="skip updates whose global grad norm is "
                              "non-finite or exceeds this (VDVAE skip rule)")
+        sp.add_argument("--beta-warmup", type=int, metavar="STEPS",
+                        help="KL annealing: ramp the bound's beta linearly "
+                             "0 -> model beta over STEPS train steps")
         sp.add_argument("--ema", type=float, metavar="DECAY",
                         help="per-step EMA decay of the params (e.g. 0.999); "
                              "val/test/report then use the EMA weights")
@@ -463,6 +623,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp_eval.add_argument("--ckpt", default="best",
                          help="checkpoint tag: best, latest, or a "
                               "step_<N> snapshot")
+    sp_eval.add_argument("--active-units", action="store_true",
+                         help="also report per-layer active latent units "
+                              "(posterior-mean variance > 0.01, Burda et "
+                              "al. 2016)")
     sp_eval.set_defaults(fn=cmd_eval)
 
     sp_sample = sub.add_parser("sample", help="generate images from the prior")
@@ -504,12 +668,21 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp_list = sub.add_parser("list", help="list model configs")
     sp_list.set_defaults(fn=cmd_list)
+
+    sp_desc = sub.add_parser(
+        "describe", help="model card: config, params, memory, analytic "
+                         "FLOPs, mesh plan (no device compute)")
+    sp_desc.add_argument("model", choices=list(MODELS))
+    sp_desc.add_argument("--batch-size", type=int)
+    sp_desc.add_argument("--bf16", action="store_true")
+    sp_desc.add_argument("--mesh", help="DxS or DxSxM plan to preview")
+    sp_desc.set_defaults(fn=cmd_describe)
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    if getattr(args, "fn", None) is not cmd_list:
+    if getattr(args, "fn", None) not in (cmd_list, cmd_describe):
         from vae_mdl_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()

@@ -118,6 +118,12 @@ class TrainConfig:
     # >0: linear warmup 0 -> lr over this many steps, composed with the
     # base schedule (production extension; the reference has none)
     lr_warmup_steps: int = 0
+    # >0: KL annealing — the bound's beta ramps linearly 0 -> model.beta
+    # over this many TRAIN steps (standard VAE posterior-collapse remedy,
+    # Bowman et al. 2016; not in the reference — production extension).
+    # Training only: val/test use the full beta, and the 5000-IS evaluator
+    # is a beta=1 log-likelihood bound regardless.
+    beta_warmup_steps: int = 0
     # "adamax" is the reference's commented alternative; "adam_keras" is the
     # reference's EXACT Adam formulation (eps=1e-7 on the uncorrected sqrt(v),
     # train/state.keras_adam) — the default optax.adam deviates negligibly

@@ -173,7 +173,10 @@ def evaluate_llh(
             multihost_utils.process_allgather(jnp.asarray(per_image))
         ).sum(axis=0)
 
-    mean_llh = float(per_image.mean())
+    # float64 accumulation: 10k float32 values of ~1e2 magnitude can round
+    # at the 1e-2 level under f32 summation — material for a parity metric
+    # quoted to two decimals (−85.02)
+    mean_llh = float(per_image.mean(dtype=np.float64))
     h, w, c = cfg.model.image_shape
     bpd = -mean_llh / (math.log(2.0) * h * w * c)
     return mean_llh, per_image, {

@@ -36,7 +36,12 @@ from jax import shard_map
 from vae_mdl_tpu.config import ExperimentConfig
 from vae_mdl_tpu.models.objective import compute_loss
 from vae_mdl_tpu.models.vae import prior_for
-from vae_mdl_tpu.train.steps import preprocess_train, skip_select, update_ok
+from vae_mdl_tpu.train.steps import (
+    effective_beta,
+    preprocess_train,
+    skip_select,
+    update_ok,
+)
 from vae_mdl_tpu.train.state import TrainState, ema_update
 
 
@@ -69,12 +74,13 @@ def make_shard_map_train_step(
         rngs = {name: jax.random.fold_in(key, didx)
                 for name, key in rngs.items()}
         x = preprocess_train(cfg, batch, rngs)
+        beta = effective_beta(cfg, state.step)
 
         def loss_fn(params):
             Qs, Ps, pxz = model.apply(params, x, k,
                                       rngs={"sample": rngs["sample"]})
             return compute_loss(prior, Qs, Ps, pxz, x,
-                                beta=cfg.model.beta,
+                                beta=beta,
                                 objective=getattr(cfg.model, "objective",
                                                   "iwae"))
 
@@ -192,12 +198,13 @@ def make_zero1_train_step(
         rngs = {name: jax.random.fold_in(key, didx)
                 for name, key in rngs.items()}
         x = preprocess_train(cfg, batch, rngs)
+        beta = effective_beta(cfg, state.step)
 
         def loss_fn(params):
             Qs, Ps, pxz = model.apply(params, x, k,
                                       rngs={"sample": rngs["sample"]})
             return compute_loss(prior, Qs, Ps, pxz, x,
-                                beta=cfg.model.beta,
+                                beta=beta,
                                 objective=getattr(cfg.model, "objective",
                                                   "iwae"))
 

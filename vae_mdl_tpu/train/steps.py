@@ -56,6 +56,19 @@ def reduce_scan_metrics(metrics):
     return out
 
 
+def effective_beta(cfg: ExperimentConfig, step: jax.Array):
+    """The bound's beta at a given TRAIN step: ``model.beta`` scaled by a
+    linear 0 -> 1 ramp over ``train.beta_warmup_steps`` (KL annealing).
+    With the knob off this returns the Python float unchanged, so the
+    compiled step is bit-identical to the un-annealed program. Eval paths
+    never call this — val/test use the full beta by design."""
+    w = cfg.train.beta_warmup_steps
+    if w <= 0:
+        return cfg.model.beta
+    ramp = jnp.minimum(1.0, (step.astype(jnp.float32) + 1.0) / float(w))
+    return cfg.model.beta * ramp
+
+
 def preprocess(cfg: ExperimentConfig, batch: jax.Array, key: jax.Array) -> jax.Array:
     """uint8 batch -> model input, on device."""
     x = dequantize(batch) if jnp.issubdtype(batch.dtype, jnp.integer) else batch
@@ -84,13 +97,14 @@ def _train_step_body(model, cfg: ExperimentConfig,
     def step(state: TrainState, batch: jax.Array):
         rngs = state.next_rngs("sample", "binarize", "flip")
         x = preprocess_train(cfg, batch, rngs)
+        beta = effective_beta(cfg, state.step)
 
         def loss_fn(params):
             Qs, Ps, pxz = model.apply(
                 params, x, k, rngs={"sample": rngs["sample"]}
             )
             return compute_loss(prior, Qs, Ps, pxz, x,
-                                beta=cfg.model.beta,
+                                beta=beta,
                                 objective=getattr(cfg.model, "objective",
                                                   "iwae"))
 
