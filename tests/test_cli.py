@@ -83,6 +83,22 @@ def test_cli_describe(capsys, name):
     assert n > 10_000
 
 
+def test_cli_describe_mesh_plan_matches_train_semantics(capsys):
+    """The plan's per-device batch reflects the default GSPMD path (batch
+    sharded over 'data' only — parallel/mesh.batch_sharding), with the
+    shard_map/ZeRO-1 flattened layout reported separately; and the spec
+    grammar is the same one train/eval accept (a 4-component spec is
+    rejected, not silently truncated)."""
+    main(["describe", "model01", "--mesh", "4x2"])  # batch 128
+    out = capsys.readouterr().out
+    assert "128 -> 32 per data-axis device" in out
+    assert "flatten all axes: 128 -> 16 per device" in out
+    assert "does not divide" not in out
+
+    with pytest.raises(SystemExit, match="DxSxM"):
+        main(["describe", "model01", "--mesh", "2x2x2x2"])
+
+
 def test_cli_describe_matches_flops_utils(capsys):
     """The card's TFLOP/step agrees with utils.flops.train_step_flops."""
     from vae_mdl_tpu.models.zoo import experiment

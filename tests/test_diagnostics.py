@@ -46,6 +46,11 @@ def test_active_units_requires_a_full_batch():
     with pytest.raises(ValueError, match="full batch"):
         active_units(_FakePosterior(), cfg, None,
                      np.zeros((4, 8, 8, 3), np.uint8), batch_size=16)
+    # batch_size=0 (e.g. an empty test split upstream) is a named error,
+    # not a ZeroDivisionError
+    with pytest.raises(ValueError, match="positive"):
+        active_units(_FakePosterior(), cfg, None,
+                     np.zeros((4, 8, 8, 3), np.uint8), batch_size=0)
 
 
 def _real_au(name, images):

@@ -402,6 +402,17 @@ def test_beta_warmup_effective_beta():
         got = float(effective_beta(cfg, jnp.asarray(step, jnp.int32)))
         assert got == pytest.approx(expect * base.model.beta)
 
+    # under gradient accumulation the ramp counts APPLIED updates
+    # (matching lr_warmup_steps) and beta is constant within each
+    # accumulated group of micro-batches
+    acc = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, beta_warmup_steps=10,
+                                        grad_accum_steps=4))
+    for step, expect in [(0, 0.1), (3, 0.1), (4, 0.2), (39, 1.0),
+                         (1000, 1.0)]:
+        got = float(effective_beta(acc, jnp.asarray(step, jnp.int32)))
+        assert got == pytest.approx(expect * base.model.beta)
+
 
 def test_beta_warmup_anneals_the_train_bound():
     """At step 0 a long warmup down-weights the KL term (higher bound,

@@ -73,6 +73,26 @@ def _apply_overrides(cfg, args):
     return dataclasses.replace(cfg, model=model, data=data, train=train)
 
 
+def _parse_mesh_spec(mesh_spec: str) -> tuple:
+    """``"D"``, ``"DxS"`` or ``"DxSxM"`` -> ``(data, sample, model)``.
+    Empty components default to 1 ("4x" == 4x1); anything else is a
+    SystemExit with the expected grammar. Shared by every command that
+    accepts --mesh so the describe preview validates exactly what
+    train/eval/export would accept."""
+    parts = mesh_spec.split("x")
+    if not 1 <= len(parts) <= 3:
+        raise SystemExit(
+            f"--mesh {mesh_spec!r}: expected D, DxS or DxSxM (e.g. 4, 4x2, "
+            "2x2x2)")
+    try:
+        vals = [int(p) if p else 1 for p in parts]
+    except ValueError:
+        raise SystemExit(
+            f"--mesh {mesh_spec!r}: components must be integers (or 'none')")
+    vals += [1] * (3 - len(vals))
+    return tuple(vals)
+
+
 def _make_mesh_or_none(mesh_spec: Optional[str], mesh_cfg=None):
     """Mesh from --mesh, or from the experiment's MeshConfig when absent."""
     import jax
@@ -86,20 +106,7 @@ def _make_mesh_or_none(mesh_spec: Optional[str], mesh_cfg=None):
         return make_mesh(mesh_cfg or MeshConfig())
     if mesh_spec == "none":
         return None
-    # "D", "DxS", or "DxSxM" (M>1 = channel tensor parallelism); empty
-    # components default to 1 ("4x" == 4x1)
-    parts = mesh_spec.split("x")
-    if not 1 <= len(parts) <= 3:
-        raise SystemExit(
-            f"--mesh {mesh_spec!r}: expected D, DxS or DxSxM (e.g. 4, 4x2, "
-            "2x2x2)")
-    try:
-        vals = [int(p) if p else 1 for p in parts]
-    except ValueError:
-        raise SystemExit(
-            f"--mesh {mesh_spec!r}: components must be integers (or 'none')")
-    vals += [1] * (3 - len(vals))
-    data, sample, model = vals
+    data, sample, model = _parse_mesh_spec(mesh_spec)
     return make_mesh(MeshConfig(data=data, sample=sample, model=model))
 
 
@@ -515,25 +522,23 @@ def cmd_describe(args) -> None:
           f"(197 TFLOP/s; measured MFU tables: docs/design.md §12)")
 
     if args.mesh and args.mesh != "none":
-        parts = args.mesh.split("x")
-        try:
-            vals = [int(p) if p else 1 for p in parts]
-        except ValueError:
-            raise SystemExit(f"--mesh {args.mesh!r}: components must be "
-                             "integers (or 'none')")
-        vals += [1] * (3 - len(vals))
-        d, s, mm = vals[:3]
+        d, s, mm = _parse_mesh_spec(args.mesh)
         ndev = d * s * mm
         print()
         print(f"  mesh plan        (data={d}, sample={s}, model={mm}) = "
               f"{ndev} devices")
-        # train shards the batch over ALL mesh axes flattened
-        # (parallel/spmd.py); the sample axis means importance-sample
-        # sharding inside the EVAL harness (evaluation/harness.py)
-        nb = d * s
-        div = "" if batch % max(nb, 1) == 0 else "  [! does not divide]"
-        print(f"    train batch    {batch} -> {batch // max(nb, 1)} "
-              f"per device (sharded over data x sample){div}")
+        # the default (GSPMD jit) train path shards the batch over the
+        # 'data' axis only (parallel/mesh.batch_sharding, the Trainer's
+        # divisibility guard); the shard_map/ZeRO-1 opt-ins flatten the
+        # batch over ALL axes (parallel/spmd.py) — report both
+        div = "" if batch % max(d, 1) == 0 else "  [! does not divide]"
+        print(f"    train batch    {batch} -> {batch // max(d, 1)} "
+              f"per data-axis device (default GSPMD path){div}")
+        if d * s * mm > d:
+            nb = d * s * mm
+            div2 = "" if batch % nb == 0 else "  [! does not divide]"
+            print(f"                   shard_map/ZeRO-1 opt-ins flatten all "
+                  f"axes: {batch} -> {batch // nb} per device{div2}")
         ks = cfg.train.n_eval_samples
         kdiv = "" if ks % max(s, 1) == 0 else "  [! does not divide]"
         print(f"    eval IS axis   {ks} importance samples -> "

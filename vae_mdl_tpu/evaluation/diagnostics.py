@@ -10,10 +10,12 @@ reference reproduces (−85.02, /root/reference/README.md:11-13) and the
 standard posterior-collapse diagnostic for the hierarchical families this
 framework adds; the reference computes nothing like it.
 
-TPU notes: one jitted encode per batch (posterior means only — no decoder,
-no sampling cost beyond the ancestral draws the upper layers need), with
-the variance accumulated on host in float64 via the numerically safe
-sum/sumsq streaming form over test batches.
+TPU notes: one jitted ``encode`` per batch — for the bottom-up families
+that is posterior means only (no decoder); the bidirectional ladder's
+``encode`` runs its full forward pass by construction
+(models/bidirectional.py). Variances accumulate on host as streaming
+sum/sumsq — a cancellation-prone form at f32, made safe here by float64
+accumulation (posterior means are O(1), test sets are O(1e4) images).
 """
 from __future__ import annotations
 
@@ -45,6 +47,8 @@ def active_units(
     "variance": [per-layer np arrays of Cov_x(E_q[z_u|x])]}`` — layer 1
     first (the layer nearest the observation).
     """
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
     n_batches = len(images) // batch_size
     if n_batches == 0:
         raise ValueError(

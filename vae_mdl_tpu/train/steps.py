@@ -61,11 +61,19 @@ def effective_beta(cfg: ExperimentConfig, step: jax.Array):
     linear 0 -> 1 ramp over ``train.beta_warmup_steps`` (KL annealing).
     With the knob off this returns the Python float unchanged, so the
     compiled step is bit-identical to the un-annealed program. Eval paths
-    never call this — val/test use the full beta by design."""
+    never call this — val/test use the full beta by design.
+
+    ``beta_warmup_steps`` counts APPLIED optimizer updates, matching
+    ``lr_warmup_steps`` (optax.MultiSteps reports its inner schedule
+    position in applied updates): under ``grad_accum_steps=k`` the ramp
+    advances once per k micro-batches, so every micro-gradient inside one
+    accumulated update sees the same beta."""
     w = cfg.train.beta_warmup_steps
     if w <= 0:
         return cfg.model.beta
-    ramp = jnp.minimum(1.0, (step.astype(jnp.float32) + 1.0) / float(w))
+    accum = max(1, cfg.train.grad_accum_steps)
+    applied = step.astype(jnp.float32) // float(accum)
+    ramp = jnp.minimum(1.0, (applied + 1.0) / float(w))
     return cfg.model.beta * ramp
 
 
