@@ -16,6 +16,12 @@ train_model.py:1). Here:
 checkpointing, then reload "best", run the 5000-IS test evaluation, and dump
 the input/reconstruction/sample PNG grids to ./assets/ (parity with
 models/model01.py:305-330).
+
+Provenance: every ``train`` records the resolved experiment as
+``<checkpoint_dir>/<model>/config.json`` (config_io.py); any command takes
+``--config FILE`` to rebuild the exact experiment from such a file (flag
+overrides still apply), and ``describe --json`` emits the machine-readable
+model card.
 """
 from __future__ import annotations
 
@@ -73,6 +79,31 @@ def _apply_overrides(cfg, args):
     return dataclasses.replace(cfg, model=model, data=data, train=train)
 
 
+def _base_config(args):
+    """Base ExperimentConfig: ``--config FILE`` wins (a recorded run's
+    ``config.json`` or a hand-written experiment file, config_io.py);
+    otherwise the zoo entry named by the positional. With both, the
+    positional must match the file's model name — evaluating checkpoint A
+    under config B is exactly the mistake provenance exists to prevent."""
+    from vae_mdl_tpu.models.zoo import experiment
+
+    if getattr(args, "config", None):
+        from vae_mdl_tpu.config_io import load_config
+
+        try:
+            cfg = load_config(args.config)
+        except (OSError, ValueError) as e:
+            raise SystemExit(f"--config {args.config}: {e}")
+        if args.model and args.model != cfg.model.name:
+            raise SystemExit(
+                f"--config {args.config} describes model "
+                f"{cfg.model.name!r} but the command names {args.model!r}")
+        return cfg
+    if not args.model:
+        raise SystemExit("a model name or --config FILE is required")
+    return experiment(args.model)
+
+
 def _parse_mesh_spec(mesh_spec: str) -> tuple:
     """``"D"``, ``"DxS"`` or ``"DxSxM"`` -> ``(data, sample, model)``.
     Empty components default to 1 ("4x" == 4x1); anything else is a
@@ -111,12 +142,11 @@ def _make_mesh_or_none(mesh_spec: Optional[str], mesh_cfg=None):
 
 
 def cmd_train(args) -> None:
-    from vae_mdl_tpu.models.zoo import experiment
     from vae_mdl_tpu.parallel.distributed import init_distributed
     from vae_mdl_tpu.train.trainer import Trainer
 
     init_distributed()
-    cfg = _apply_overrides(experiment(args.model), args)
+    cfg = _apply_overrides(_base_config(args), args)
     mesh = _make_mesh_or_none(args.mesh, cfg.mesh)
     trainer = Trainer(cfg, mesh=mesh)
 
@@ -226,14 +256,13 @@ def _dump_assets(trainer, cfg, out_dir: str = "./assets") -> None:
 
 
 def cmd_eval(args) -> None:
-    from vae_mdl_tpu.models.zoo import experiment
     from vae_mdl_tpu.parallel.distributed import init_distributed
     from vae_mdl_tpu.train.trainer import Trainer
 
     # multi-host: without this, every host would redundantly evaluate the
     # full test set (process_count stays 1) against a local-only mesh
     init_distributed()
-    cfg = _no_resume(_apply_overrides(experiment(args.model), args))
+    cfg = _no_resume(_apply_overrides(_base_config(args), args))
     mesh = _make_mesh_or_none(args.mesh, cfg.mesh)
     trainer = Trainer(cfg, mesh=mesh)
     _restore_weights(trainer, cfg, args, "eval")
@@ -314,13 +343,12 @@ def cmd_sample(args) -> None:
     import numpy as np
 
     from vae_mdl_tpu.models.inference import make_sampler
-    from vae_mdl_tpu.models.zoo import experiment
     from vae_mdl_tpu.parallel.distributed import init_distributed
     from vae_mdl_tpu.train.trainer import Trainer
     from vae_mdl_tpu.utils.images import fill_canvas, save_png
 
     init_distributed()
-    cfg = _no_resume(_apply_overrides(experiment(args.model), args))
+    cfg = _no_resume(_apply_overrides(_base_config(args), args))
     trainer = Trainer(cfg, mesh=_make_mesh_or_none(args.mesh, cfg.mesh))
     _restore_weights(trainer, cfg, args, "sample")
     sampler = make_sampler(trainer.model, cfg.model)
@@ -338,11 +366,10 @@ def cmd_export(args) -> None:
     """AOT-export a trained model for serving (jax.export / StableHLO):
     weights baked in, loadable with only jax (models/export.py)."""
     from vae_mdl_tpu.models import export as mexport
-    from vae_mdl_tpu.models.zoo import experiment
     from vae_mdl_tpu.train.state import eval_params
     from vae_mdl_tpu.train.trainer import Trainer
 
-    cfg = _no_resume(_apply_overrides(experiment(args.model), args))
+    cfg = _no_resume(_apply_overrides(_base_config(args), args))
     # an EXPLICIT --mesh embeds the multi-device serving layout in the
     # artifact; the default stays a single-device export regardless of how
     # many chips the exporting host has
@@ -377,12 +404,11 @@ def cmd_convert(args) -> None:
     checkpoint. After this, eval/sample/train resume from the converted
     checkpoint WITHOUT TensorFlow installed (TF is only needed here, to
     read the TF-format file)."""
-    from vae_mdl_tpu.models.zoo import experiment
     from vae_mdl_tpu.train.trainer import Trainer
 
     if not args.from_reference:
         raise SystemExit("convert requires --from-reference CKPT_PREFIX")
-    cfg = _apply_overrides(experiment(args.model), args)
+    cfg = _apply_overrides(_base_config(args), args)
     # a conversion is always a FRESH step-0 state: never auto-resume into
     # it, and never clobber an existing trained checkpoint at the tag
     cfg = dataclasses.replace(
@@ -425,7 +451,6 @@ def cmd_describe(args) -> None:
     import numpy as np
 
     from vae_mdl_tpu.models.vae import build_model
-    from vae_mdl_tpu.models.zoo import experiment
     from vae_mdl_tpu.nn.decoders import head_channels
     from vae_mdl_tpu.utils.flops import (
         V5E_PEAK_FLOPS,
@@ -433,7 +458,7 @@ def cmd_describe(args) -> None:
         train_step_flops,
     )
 
-    cfg = experiment(args.model)
+    cfg = _base_config(args)
     m = cfg.model
     if args.batch_size is not None:
         cfg = _dc.replace(cfg, data=_dc.replace(cfg.data,
@@ -488,11 +513,50 @@ def cmd_describe(args) -> None:
     else:
         pallas = "forced on" if m.use_pallas else "off"
 
+    mesh_plan = None
+    if args.mesh and args.mesh != "none":
+        d, s, mm = _parse_mesh_spec(args.mesh)
+        ks = cfg.train.n_eval_samples
+        mesh_plan = {
+            "data": d, "sample": s, "model": mm, "n_devices": d * s * mm,
+            # default GSPMD jit path: batch sharded over 'data' only
+            # (parallel/mesh.batch_sharding); shard_map/ZeRO-1 opt-ins
+            # flatten the batch over ALL axes (parallel/spmd.py)
+            "batch_per_data_device": batch // max(d, 1),
+            "batch_divides_data": batch % max(d, 1) == 0,
+            "batch_per_device_flattened": batch // (d * s * mm),
+            "batch_divides_flattened": batch % (d * s * mm) == 0,
+            "eval_samples_per_sample_device": ks // max(s, 1),
+            "eval_samples_divide": ks % max(s, 1) == 0,
+        }
+
+    if getattr(args, "json", False):
+        import json as _json
+
+        from vae_mdl_tpu.config_io import config_to_dict
+
+        card = {
+            "name": m.name,
+            "n_params": n_params,
+            "params_mib": round(params_mib, 3),
+            "train_state_mib": round(state_mib, 3),
+            "optimizer_slots": slots,
+            "forward_flops_per_img": fwd,
+            "train_step_flops": step,
+            "flops_peak": V5E_PEAK_FLOPS,
+            "ceiling_imgs_per_sec": ceiling,
+            "config": config_to_dict(cfg),
+        }
+        if mesh_plan is not None:
+            card["mesh_plan"] = mesh_plan
+        print(_json.dumps(card))
+        return
+
     def _flops(v: float) -> str:
         return (f"{v / 1e9:.2f} GFLOP" if v >= 1e8
                 else f"{v / 1e6:.2f} MFLOP")
 
-    print(f"{args.model} — {m.likelihood} obs, {m.n_stochastic} "
+    print(f"{m.name} — {m.likelihood} obs, {m.n_stochastic} "
           f"stochastic layer(s)")
     print(f"  dataset          {cfg.data.dataset} {m.image_shape}, "
           f"batch {batch}")
@@ -521,28 +585,26 @@ def cmd_describe(args) -> None:
     print(f"  v5e-1 ceiling    {ceiling:,.0f} imgs/s at 100% bf16 peak "
           f"(197 TFLOP/s; measured MFU tables: docs/design.md §12)")
 
-    if args.mesh and args.mesh != "none":
-        d, s, mm = _parse_mesh_spec(args.mesh)
-        ndev = d * s * mm
+    if mesh_plan is not None:
+        d, s, mm = mesh_plan["data"], mesh_plan["sample"], mesh_plan["model"]
         print()
         print(f"  mesh plan        (data={d}, sample={s}, model={mm}) = "
-              f"{ndev} devices")
-        # the default (GSPMD jit) train path shards the batch over the
-        # 'data' axis only (parallel/mesh.batch_sharding, the Trainer's
-        # divisibility guard); the shard_map/ZeRO-1 opt-ins flatten the
-        # batch over ALL axes (parallel/spmd.py) — report both
-        div = "" if batch % max(d, 1) == 0 else "  [! does not divide]"
-        print(f"    train batch    {batch} -> {batch // max(d, 1)} "
+              f"{mesh_plan['n_devices']} devices")
+        div = "" if mesh_plan["batch_divides_data"] else "  [! does not divide]"
+        print(f"    train batch    {batch} -> "
+              f"{mesh_plan['batch_per_data_device']} "
               f"per data-axis device (default GSPMD path){div}")
         if d * s * mm > d:
-            nb = d * s * mm
-            div2 = "" if batch % nb == 0 else "  [! does not divide]"
+            div2 = ("" if mesh_plan["batch_divides_flattened"]
+                    else "  [! does not divide]")
             print(f"                   shard_map/ZeRO-1 opt-ins flatten all "
-                  f"axes: {batch} -> {batch // nb} per device{div2}")
+                  f"axes: {batch} -> "
+                  f"{mesh_plan['batch_per_device_flattened']} per device{div2}")
         ks = cfg.train.n_eval_samples
-        kdiv = "" if ks % max(s, 1) == 0 else "  [! does not divide]"
+        kdiv = "" if mesh_plan["eval_samples_divide"] else "  [! does not divide]"
         print(f"    eval IS axis   {ks} importance samples -> "
-              f"{ks // max(s, 1)} per sample-axis device{kdiv}")
+              f"{mesh_plan['eval_samples_per_sample_device']} "
+              f"per sample-axis device{kdiv}")
         if mm > 1:
             print(f"    tensor par.    wide conv/dense kernels channel-"
                   f"sharded over model={mm} (parallel/tensor.py)")
@@ -560,7 +622,12 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
-        sp.add_argument("model", choices=list(MODELS))
+        sp.add_argument("model", nargs="?", choices=list(MODELS),
+                        help="zoo entry (optional when --config is given)")
+        sp.add_argument("--config", metavar="FILE",
+                        help="build the experiment from a config JSON "
+                             "(e.g. a run's recorded config.json) instead "
+                             "of the zoo; flag overrides still apply")
         sp.add_argument("--dataset")
         sp.add_argument("--data-dir")
         sp.add_argument("--batch-size", type=int)
@@ -677,10 +744,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp_desc = sub.add_parser(
         "describe", help="model card: config, params, memory, analytic "
                          "FLOPs, mesh plan (no device compute)")
-    sp_desc.add_argument("model", choices=list(MODELS))
+    sp_desc.add_argument("model", nargs="?", choices=list(MODELS),
+                         help="zoo entry (optional when --config is given)")
+    sp_desc.add_argument("--config", metavar="FILE",
+                         help="describe a config JSON (e.g. a run's "
+                              "recorded config.json) instead of a zoo entry")
     sp_desc.add_argument("--batch-size", type=int)
     sp_desc.add_argument("--bf16", action="store_true")
     sp_desc.add_argument("--mesh", help="DxS or DxSxM plan to preview")
+    sp_desc.add_argument("--json", action="store_true",
+                         help="emit the card as one machine-readable JSON "
+                              "object (includes the full config dict)")
     sp_desc.set_defaults(fn=cmd_describe)
     return p
 

@@ -211,6 +211,37 @@ class Trainer:
                     "full XLA compile"
                 )
 
+    def _record_config(self) -> None:
+        """Run provenance: write the resolved config as ``config.json`` next
+        to the checkpoints, so every checkpoint is accompanied by the exact
+        settings that produced it (``cli.run train --config`` reproduces the
+        run; the reference's settings live only in source-file archaeology,
+        SURVEY.md §5). On resume with drifted flags, print a field diff
+        first — a silent lr/beta/dtype change mid-run is a classic
+        irreproducibility bug — then record the live config (the file
+        mirrors what is actually running)."""
+        import os
+
+        from vae_mdl_tpu.config_io import diff_configs, load_config, save_config
+
+        if jax.process_index() != 0:
+            return
+        path = os.path.join(self.ckpt.base, "config.json")
+        if os.path.exists(path):
+            try:
+                recorded = load_config(path)
+            except (ValueError, TypeError, OSError) as e:
+                print(f"[trainer] WARNING: could not read {path} ({e}); "
+                      "rewriting it")
+            else:
+                drift = diff_configs(recorded, self.cfg)
+                if drift:
+                    print(f"[trainer] WARNING: live config differs from the "
+                          f"recorded {path}:")
+                    for line in drift:
+                        print(f"  {line}")
+        save_config(self.cfg, path)
+
     # ------------------------------------------------------------------ loop
 
     def fit(
@@ -246,6 +277,7 @@ class Trainer:
             raise ValueError(
                 "snapshot_interval must be a multiple of eval_interval"
             )
+        self._record_config()
         # profile start/stop aligned to loop iteration values (stride = spc)
         profile_at = (
             int(self.state.step) + self.steps_per_call if profile_dir else -1
