@@ -71,6 +71,10 @@ def _apply_overrides(cfg, args):
         train = dataclasses.replace(train, grad_skip_threshold=args.grad_skip)
     if getattr(args, "beta_warmup", None) is not None:
         train = dataclasses.replace(train, beta_warmup_steps=args.beta_warmup)
+    if getattr(args, "objective", None):
+        model = dataclasses.replace(model, objective=args.objective)
+    if getattr(args, "free_bits", None) is not None:
+        model = dataclasses.replace(model, free_bits=args.free_bits)
     if getattr(args, "snapshot_interval", None) is not None:
         train = dataclasses.replace(
             train, snapshot_interval=args.snapshot_interval)
@@ -660,6 +664,16 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--grad-skip", type=float, metavar="THRESHOLD",
                         help="skip updates whose global grad norm is "
                              "non-finite or exceeds this (VDVAE skip rule)")
+        sp.add_argument("--objective", choices=["iwae", "elbo", "iwae_dreg"],
+                        default=None,
+                        help="training objective: the config's default "
+                        "(usually iwae), elbo, or iwae_dreg (DReG "
+                        "gradients for the IWAE bound; VAE family only)")
+        sp.add_argument("--free-bits", type=float, metavar="NATS",
+                        default=None,
+                        help="floor each stochastic layer's expected KL at "
+                        "this many nats in the objective (requires "
+                        "--objective elbo)")
         sp.add_argument("--beta-warmup", type=int, metavar="STEPS",
                         help="KL annealing: ramp the bound's beta linearly "
                              "0 -> model beta over STEPS train steps")

@@ -83,7 +83,15 @@ class ModelConfig:
     # off elsewhere); True/False force
     use_pallas: Optional[bool] = None
     beta: float = 1.0  # KL weight in the bound (reference always 1.0)
-    objective: str = "iwae"  # "iwae" | "elbo" (reference exports both)
+    # "iwae" | "elbo" (reference exports both, models/loss.py:26-70) |
+    # "iwae_dreg" — the IWAE bound trained with doubly-reparameterized
+    # gradients (Tucker et al. 2019; VAE family only; production extension)
+    objective: str = "iwae"
+    # >0: per-layer free bits — each stochastic layer's expected KL is
+    # floored at this many nats inside the objective (Kingma et al. 2016
+    # §C.8; requires objective="elbo"; production extension). Pairs with
+    # beta_warmup_steps and the active-units diagnostic.
+    free_bits: float = 0.0
 
     def latents(self) -> Tuple[int, ...]:
         return self.latent_sizes or (self.n_latent,) * self.n_stochastic

@@ -34,7 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from vae_mdl_tpu.config import ExperimentConfig
-from vae_mdl_tpu.models.objective import compute_loss
+from vae_mdl_tpu.models.objective import training_loss_fn
 from vae_mdl_tpu.models.vae import prior_for
 from vae_mdl_tpu.train.steps import (
     effective_beta,
@@ -76,14 +76,8 @@ def make_shard_map_train_step(
         x = preprocess_train(cfg, batch, rngs)
         beta = effective_beta(cfg, state.step)
 
-        def loss_fn(params):
-            Qs, Ps, pxz = model.apply(params, x, k,
-                                      rngs={"sample": rngs["sample"]})
-            return compute_loss(prior, Qs, Ps, pxz, x,
-                                beta=beta,
-                                objective=getattr(cfg.model, "objective",
-                                                  "iwae"))
-
+        loss_fn = training_loss_fn(model, cfg, prior, x, k,
+                                   rngs["sample"], beta)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
@@ -200,14 +194,8 @@ def make_zero1_train_step(
         x = preprocess_train(cfg, batch, rngs)
         beta = effective_beta(cfg, state.step)
 
-        def loss_fn(params):
-            Qs, Ps, pxz = model.apply(params, x, k,
-                                      rngs={"sample": rngs["sample"]})
-            return compute_loss(prior, Qs, Ps, pxz, x,
-                                beta=beta,
-                                objective=getattr(cfg.model, "objective",
-                                                  "iwae"))
-
+        loss_fn = training_loss_fn(model, cfg, prior, x, k,
+                                   rngs["sample"], beta)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )

@@ -20,7 +20,7 @@ import optax
 
 from vae_mdl_tpu.config import ExperimentConfig
 from vae_mdl_tpu.data.preprocess import binarize, dequantize, random_flip
-from vae_mdl_tpu.models.objective import compute_loss
+from vae_mdl_tpu.models.objective import compute_loss, training_loss_fn
 from vae_mdl_tpu.models.vae import prior_for
 from vae_mdl_tpu.train.state import TrainState, ema_update, eval_params
 
@@ -107,15 +107,8 @@ def _train_step_body(model, cfg: ExperimentConfig,
         x = preprocess_train(cfg, batch, rngs)
         beta = effective_beta(cfg, state.step)
 
-        def loss_fn(params):
-            Qs, Ps, pxz = model.apply(
-                params, x, k, rngs={"sample": rngs["sample"]}
-            )
-            return compute_loss(prior, Qs, Ps, pxz, x,
-                                beta=beta,
-                                objective=getattr(cfg.model, "objective",
-                                                  "iwae"))
-
+        loss_fn = training_loss_fn(model, cfg, prior, x, k,
+                                   rngs["sample"], beta)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
@@ -246,7 +239,9 @@ def make_eval_step(
         loss, metrics = compute_loss(prior, Qs, Ps, pxz, x,
                                      beta=cfg.model.beta,
                                      objective=getattr(cfg.model, "objective",
-                                                       "iwae"))
+                                                       "iwae"),
+                                     free_bits=getattr(cfg.model, "free_bits",
+                                                       0.0))
         out = _scalarize(metrics)
         out["loss"] = loss
         return out
