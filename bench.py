@@ -33,10 +33,15 @@ import numpy as np
 from vae_mdl_tpu.utils.flops import V5E_PEAK_FLOPS, train_step_flops
 
 
-def _train_throughput(name: str, spc: int = 10, n_iters: int = 5,
-                      compute_dtype: str = "float32"):
-    """-> (imgs_per_sec, flops_per_step, batch_size) for a model's scanned
-    train step."""
+def setup_scanned_step(name: str, spc: int = 10,
+                       compute_dtype: str | None = "float32",
+                       model_over: dict | None = None,
+                       train_over: dict | None = None,
+                       donate: bool = True):
+    """-> (train_step, state, batch, cfg, flops_per_step) for a zoo entry's
+    scanned train step on synthetic data — the ONE timing-harness setup,
+    shared with the perf-probe scripts (scripts/objective_cost.py,
+    scripts/xla_flag_sweep.py) so methodology fixes land in one place."""
     from vae_mdl_tpu.config import DataConfig
     from vae_mdl_tpu.models.vae import build_model
     from vae_mdl_tpu.models.zoo import experiment
@@ -54,15 +59,21 @@ def _train_throughput(name: str, spc: int = 10, n_iters: int = 5,
     model_cfg = cfg.model
     if compute_dtype is not None:
         model_cfg = dataclasses.replace(model_cfg, compute_dtype=compute_dtype)
+    if model_over:
+        model_cfg = dataclasses.replace(model_cfg, **model_over)
+    train_cfg = cfg.train
+    if train_over:
+        train_cfg = dataclasses.replace(train_cfg, **train_over)
     cfg = dataclasses.replace(cfg, data=DataConfig(dataset=ds),
-                              model=model_cfg)
+                              model=model_cfg, train=train_cfg)
     batch_size = cfg.data.batch_size  # 128, reference parity
     model = build_model(cfg.model)
     tx = make_optimizer(cfg.train)
 
     x_f32 = jnp.zeros((batch_size,) + shape, jnp.float32)
     state = create_train_state(model, cfg.train, x_f32, cfg.model.n_samples)
-    train_step = make_multi_train_step(model, cfg, tx, n_steps=spc)
+    train_step = make_multi_train_step(model, cfg, tx, n_steps=spc,
+                                       donate=donate)
 
     rng = np.random.default_rng(0)
     batch = jnp.asarray(
@@ -73,8 +84,14 @@ def _train_throughput(name: str, spc: int = 10, n_iters: int = 5,
     # conv/dense shapes; fwd + 2x bwd). XLA's AOT cost_analysis on this
     # backend omits convolution FLOPs, so it is NOT used here.
     flops_step = train_step_flops(cfg.model, batch_size)
+    return train_step, state, batch, cfg, flops_step
 
-    for _ in range(2):  # warmup / compile
+
+def time_scanned_step(train_step, state, batch, spc: int,
+                      batch_size: int, n_iters: int = 5) -> float:
+    """Warm up (2 calls, covers compile) then time ``n_iters`` dispatches of
+    the scanned step -> imgs/sec."""
+    for _ in range(2):
         state, metrics = train_step(state, batch)
     jax.block_until_ready(metrics["loss"])
 
@@ -82,8 +99,22 @@ def _train_throughput(name: str, spc: int = 10, n_iters: int = 5,
     for _ in range(n_iters):
         state, metrics = train_step(state, batch)
     jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
-    return n_iters * spc * batch_size / dt, flops_step, batch_size
+    return n_iters * spc * batch_size / (time.perf_counter() - t0)
+
+
+def _train_throughput(name: str, spc: int = 10, n_iters: int = 5,
+                      compute_dtype: str | None = "float32",
+                      model_over: dict | None = None,
+                      train_over: dict | None = None):
+    """-> (imgs_per_sec, flops_per_step, batch_size) for a model's scanned
+    train step."""
+    train_step, state, batch, cfg, flops_step = setup_scanned_step(
+        name, spc=spc, compute_dtype=compute_dtype, model_over=model_over,
+        train_over=train_over)
+    batch_size = cfg.data.batch_size
+    imgs = time_scanned_step(train_step, state, batch, spc, batch_size,
+                             n_iters=n_iters)
+    return imgs, flops_step, batch_size
 
 
 def _resident_throughput(name: str = "model05", spc: int = 20,

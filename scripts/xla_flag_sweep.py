@@ -6,7 +6,8 @@ the axon relay (the LOCAL parser rejects --xla_tpu_* before anything is
 sent), but PJRT per-compile ``compiler_options`` ARE forwarded to and
 validated by the remote TPU compiler (a bogus option fails the remote
 compile), so each variant is an AOT ``.lower().compile()`` of the same
-traced step in one process. Run SOLO on the TPU:
+traced step in one process. Setup shared with bench.py
+(setup_scanned_step). Run SOLO on the TPU:
 `python scripts/xla_flag_sweep.py`. Results: design.md §12k.
 """
 from __future__ import annotations
@@ -16,6 +17,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from bench import setup_scanned_step  # noqa: E402
 
 CONFIGS = [
     ("baseline", {}),
@@ -29,32 +32,13 @@ CONFIGS = [
 
 
 def main() -> None:
-    import dataclasses
-
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from vae_mdl_tpu.config import DataConfig
-    from vae_mdl_tpu.models.vae import build_model
-    from vae_mdl_tpu.models.zoo import experiment
-    from vae_mdl_tpu.train.state import create_train_state, make_optimizer
-    from vae_mdl_tpu.train.steps import make_multi_train_step
 
     spc, n_iters = 10, 5
-    cfg = experiment("model05")
-    cfg = dataclasses.replace(cfg, data=DataConfig(dataset="synthetic:svhn_cropped"))
-    b = cfg.data.batch_size
-    shape = cfg.model.image_shape
-    model = build_model(cfg.model)
-    tx = make_optimizer(cfg.train)
-    state0 = create_train_state(model, cfg.train,
-                                jnp.zeros((b,) + shape, jnp.float32),
-                                cfg.model.n_samples)
     # donate=False: every variant starts from the same live state0 buffers
-    step = make_multi_train_step(model, cfg, tx, n_steps=spc, donate=False)
-    batch = jnp.asarray(np.random.default_rng(0).integers(
-        0, 256, (spc, b) + shape, dtype=np.uint8))
+    step, state0, batch, cfg, _ = setup_scanned_step(
+        "model05", spc=spc, donate=False)
+    b = cfg.data.batch_size
     lowered = step.lower(state0, batch)
 
     base = None
@@ -62,8 +46,8 @@ def main() -> None:
         try:
             compiled = lowered.compile(compiler_options=options or None)
         except Exception as e:  # noqa: BLE001 - report and continue the sweep
-            print(f"{label}: compile FAILED ({type(e).__name__}: {str(e)[:150]})",
-                  flush=True)
+            print(f"{label}: compile FAILED ({type(e).__name__}: "
+                  f"{str(e)[:150]})", flush=True)
             continue
         state, m = compiled(state0, batch)
         state, m = compiled(state, batch)

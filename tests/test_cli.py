@@ -57,9 +57,35 @@ def test_mesh_spec_errors():
         _make_mesh_or_none("2x2x2x1")
     with pytest.raises(SystemExit, match="integers"):
         _make_mesh_or_none("2xfoo")
+    # zero or negative components are rejected, not divided by later
+    with pytest.raises(SystemExit, match=">= 1"):
+        _make_mesh_or_none("0")
+    with pytest.raises(SystemExit, match=">= 1"):
+        _make_mesh_or_none("0x2")
+    with pytest.raises(SystemExit, match=">= 1"):
+        _make_mesh_or_none("2x-1")
     # trailing 'x' keeps its historical meaning: "8x" == 8x1
     mesh = _make_mesh_or_none("8x")
     assert dict(mesh.shape) == {"data": 8, "sample": 1}
+
+
+def test_describe_mesh_zero_rejected(capsys):
+    """describe --mesh 0 must exit with the grammar error, not a
+    ZeroDivisionError from the mesh-plan arithmetic (regression: the plan
+    dict divides the batch by data*sample*model)."""
+    with pytest.raises(SystemExit, match=">= 1"):
+        main(["describe", "model01", "--mesh", "0"])
+
+
+def test_objective_flags_rejected_for_ladder_families():
+    """--objective / --free-bits name the config family in a clean error on
+    the ladders (LadderConfig has no such fields; a raw TypeError from
+    dataclasses.replace would make training_loss_fn's curated refusal
+    unreachable from the CLI)."""
+    with pytest.raises(SystemExit, match="LadderConfig"):
+        main(["sample", "ladder_svhn", "--objective", "elbo"])
+    with pytest.raises(SystemExit, match="LadderConfig"):
+        main(["sample", "ladder_svhn", "--free-bits", "0.25"])
 
 
 def test_cli_list(capsys):

@@ -168,6 +168,79 @@ def test_dreg_zero_variance_at_true_posterior():
     assert _max_abs(g_iwae) > 1e-2, jax.tree.map(float, g_iwae)
 
 
+def test_dreg_hierarchical_inference_grad_matches_explicit_eq12():
+    """For n_stochastic=2 the estimator must equal the EXPLICIT two-stage
+    construction of Tucker et al. eq. 12: latents as a function of the live
+    inference weights, composed with the log-weight as a pure function of
+    the latents under fully stop-gradiented weights. The subtlety pinned
+    here: q_2's parameters are mlp_encoder(z_1) — eq. 12 keeps the live
+    route z_1 -> parameters, while stop-gradienting the evaluated parameter
+    VALUES (the single-layer shortcut) severs it and biases the layer-1
+    encoder gradient."""
+    from vae_mdl_tpu.models.objective import stop_gradient_half
+    from vae_mdl_tpu.models.vae import VAE
+
+    cfg, model, params, x = _tiny("iwae_dreg", n_stochastic=2)
+    prior = prior_for(cfg.model)
+    k = cfg.model.n_samples
+    rngs = {"sample": jax.random.PRNGKey(7)}
+
+    _, _, g = _loss_and_grads(cfg, model, params, x)
+
+    # normalised weights: values are sg-placement-independent
+    Qs, Ps, pxz = model.apply(params, x, k, rngs=rngs)
+    w = jax.nn.softmax(log_weights(prior, Qs, Ps, pxz, x), axis=0)
+
+    sg_all = jax.tree.map(jax.lax.stop_gradient, params)
+
+    def zs_of(p):
+        Qs_p, _, _ = model.apply(p, x, k, rngs=rngs)
+        return tuple(q.z for q in Qs_p)
+
+    def lw_of(zs):
+        Qs_hat = model.apply(sg_all, x, zs, method=VAE.posterior_at)
+        Ps_hat, pxz_hat = model.apply(sg_all, Qs_hat,
+                                      method=VAE.decode_down, rngs=rngs)
+        return log_weights(prior, Qs_hat, Ps_hat, pxz_hat, x)
+
+    def enc_surr(p):
+        return -jnp.mean(jnp.sum(w * w * lw_of(zs_of(p)), axis=0))
+
+    g_ref = jax.grad(enc_surr)(params)
+
+    inf = [n for n in g["params"] if "encoder" in n]
+    assert len(inf) == 2  # encoder + mlp_encoder_1
+    for name in inf:
+        scale = max(_max_abs(g_ref["params"][name]), 1e-8)
+        diff = _max_abs_diff(g["params"][name], g_ref["params"][name])
+        assert diff / scale < 1e-4, f"{name}: {diff} vs scale {scale}"
+
+    # regression guard: the value-stopping shortcut is NOT eq. 12 here —
+    # it must differ on the layer-1 encoder leaves (the severed route)
+    def enc_surr_value_stopped(p):
+        Qs2, Ps2, pxz2 = model.apply(
+            stop_gradient_half(p, "generative"), x, k, rngs=rngs
+        )
+        lw_hat = log_weights(prior, Qs2, Ps2, pxz2, x, stop_q_params=True)
+        return -jnp.mean(jnp.sum(w * w * lw_hat, axis=0))
+
+    g_biased = jax.grad(enc_surr_value_stopped)(params)
+    enc_scale = max(_max_abs(g_ref["params"]["encoder"]), 1e-8)
+    assert (_max_abs_diff(g_biased["params"]["encoder"],
+                          g_ref["params"]["encoder"]) / enc_scale) > 1e-3
+
+
+def test_dreg_free_bits_rejected_at_construction():
+    """free_bits + iwae_dreg must refuse when the train step is BUILT — the
+    dreg gradient path never consults free_bits, so without the check the
+    run would train with the floor silently dropped and die at the first
+    eval trace instead."""
+    cfg, model, params, x = _tiny("iwae_dreg", free_bits=0.25)
+    with pytest.raises(ValueError, match="free_bits"):
+        training_loss_fn(model, cfg, prior_for(cfg.model), x,
+                         cfg.model.n_samples, jax.random.PRNGKey(0), 1.0)
+
+
 def test_dreg_rejects_non_vae_family():
     """The ladder families share top-down parameters between inference and
     generation — the DReG parameter partition is undefined there and must
@@ -239,6 +312,28 @@ def test_free_bits_floor_blocks_the_kl_gradient():
     g_r = jax.grad(recon_only)(params)
     scale = max(_max_abs(g_r), 1e-8)
     assert _max_abs_diff(g_r, g_f) / scale < 1e-4
+
+
+def test_eval_step_free_bits_reports_true_bound():
+    """Eval (and hence best-checkpoint selection) ranks by the TRUE bound:
+    the free-bits floor is a training-only regularizer — a floored layer's
+    KL is invisible to the floored objective, so selecting on it would rank
+    checkpoints by reconstruction alone."""
+    from vae_mdl_tpu.train.state import create_train_state
+    from vae_mdl_tpu.train.steps import make_eval_step
+
+    cfg_f, model, params, x = _tiny("elbo", free_bits=1e6)
+    cfg_0 = dataclasses.replace(
+        cfg_f, model=dataclasses.replace(cfg_f.model, free_bits=0.0)
+    )
+    state = create_train_state(model, cfg_f.train, x, cfg_f.model.n_samples)
+    batch = (x * 255).astype(jnp.uint8)
+    m_f = make_eval_step(model, cfg_f)(state, batch)
+    m_0 = make_eval_step(model, cfg_0)(state, batch)
+    assert float(m_f["loss"]) == pytest.approx(float(m_0["loss"]), rel=1e-6)
+    # the floored objective would have been ~1e6 (the floor replaces the
+    # KL term wholesale) — make sure eval really dodged it
+    assert abs(float(m_f["loss"])) < 1e5
 
 
 def test_free_bits_two_layer_counts_floored_layers():

@@ -31,6 +31,20 @@ import os
 from typing import Optional
 
 
+def _replace_model_field(model_cfg, field: str, value, flag: str):
+    """dataclasses.replace that names the flag and config family instead of
+    surfacing a raw TypeError when the field does not exist — the model-
+    config families differ (LadderConfig/BiLadderConfig carry no
+    objective/free_bits; the curated refusal in training_loss_fn would
+    otherwise be unreachable from the CLI)."""
+    if field not in {f.name for f in dataclasses.fields(model_cfg)}:
+        raise SystemExit(
+            f"{flag} is not supported by the {type(model_cfg).__name__} "
+            f"family ({getattr(model_cfg, 'name', '?')}): it has no "
+            f"{field!r} knob")
+    return dataclasses.replace(model_cfg, **{field: value})
+
+
 def _apply_overrides(cfg, args):
     model = cfg.model
     data = cfg.data
@@ -72,9 +86,11 @@ def _apply_overrides(cfg, args):
     if getattr(args, "beta_warmup", None) is not None:
         train = dataclasses.replace(train, beta_warmup_steps=args.beta_warmup)
     if getattr(args, "objective", None):
-        model = dataclasses.replace(model, objective=args.objective)
+        model = _replace_model_field(model, "objective", args.objective,
+                                     "--objective")
     if getattr(args, "free_bits", None) is not None:
-        model = dataclasses.replace(model, free_bits=args.free_bits)
+        model = _replace_model_field(model, "free_bits", args.free_bits,
+                                     "--free-bits")
     if getattr(args, "snapshot_interval", None) is not None:
         train = dataclasses.replace(
             train, snapshot_interval=args.snapshot_interval)
@@ -124,6 +140,9 @@ def _parse_mesh_spec(mesh_spec: str) -> tuple:
     except ValueError:
         raise SystemExit(
             f"--mesh {mesh_spec!r}: components must be integers (or 'none')")
+    if any(v < 1 for v in vals):
+        raise SystemExit(
+            f"--mesh {mesh_spec!r}: components must be >= 1")
     vals += [1] * (3 - len(vals))
     return tuple(vals)
 

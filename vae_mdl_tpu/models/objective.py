@@ -41,6 +41,14 @@ def bound_terms(
     stays pathwise-live — the score-function-free log-weight of the DReG
     estimator (Tucker et al. 2019, arXiv:1810.04152, eq. 12). Distributions
     are flax.struct pytrees, so the detached copy is one tree_map.
+
+    NOTE: stopping the evaluated parameter values matches eq. 12 only when
+    no q's parameters depend on sampled latents — i.e. single-layer models,
+    where the only parameter input is the constant x. For hierarchical
+    posteriors q_i(z_i | z_{i-1}) the live route z_{i-1} -> parameters must
+    be kept; ``training_loss_fn`` does that by re-evaluating the inference
+    maps with stop-gradiented WEIGHTS at the live latents
+    (``VAE.posterior_at``) instead of using this flag.
     """
     def qd(q):
         return (jax.tree.map(jax.lax.stop_gradient, q.dist)
@@ -184,6 +192,15 @@ def _free_bits_elbo(prior, Qs, Ps, pxz, x, beta, free_bits):
 # mlp_decoder_*), and each surrogate runs the forward with the OTHER half's
 # leaves stop-gradiented — sg is identity in the forward pass, so both
 # halves see bit-identical activations (and XLA CSE can share them).
+#
+# The inference surrogate's log-weight needs one more distinction: eq. 12
+# detaches only the DIRECT phi-dependence of the q densities, so the
+# parameter maps are re-evaluated with fully stop-gradiented WEIGHTS at the
+# pathwise-live latents (VAE.posterior_at). For hierarchical posteriors
+# q_i(z_i | z_{i-1}) this keeps the live route z_{i-1} -> parameters that
+# stopping the evaluated parameter values would sever (which would bias the
+# encoder gradient at n_stochastic >= 2; pinned in tests/test_objectives.py
+# against an explicit two-stage construction of eq. 12).
 
 def _dreg_half(name: str) -> str:
     if name == "encoder" or name.startswith("mlp_encoder"):
@@ -227,6 +244,19 @@ def training_loss_fn(model, cfg, prior, x, k: int, sample_rng, beta):
     free_bits = getattr(cfg.model, "free_bits", 0.0)
     rngs = {"sample": sample_rng}
 
+    if free_bits > 0.0 and objective != "elbo":
+        # fail at step construction, not at the first eval trace: the dreg
+        # branch below never consults free_bits, so without this check a
+        # free_bits+dreg run would train with the floor silently dropped
+        # and then die eval_interval steps in when make_eval_step passes
+        # both to compute_loss
+        raise ValueError(
+            "free_bits floors per-layer EXPECTED KLs, which only decompose "
+            "out of the ELBO objective (Kingma et al. 2016 §C.8); got "
+            f"objective={objective!r}. Use objective='elbo' with free_bits, "
+            "or free_bits=0."
+        )
+
     if objective != "iwae_dreg":
         def loss_fn(params):
             Qs, Ps, pxz = model.apply(params, x, k, rngs=rngs)
@@ -260,13 +290,25 @@ def training_loss_fn(model, cfg, prior, x, k: int, sample_rng, beta):
         loss, metrics = compute_loss(prior, Qs, Ps, pxz, x, beta=beta,
                                      objective="iwae")
 
-        # inference half: generative leaves stopped at entry, q parameters
-        # stopped INSIDE the log-weight, z pathwise-live; squared weights
+        # inference half: generative leaves stopped at entry so the
+        # latents stay pathwise-live through the live encoder; squared
+        # weights
         Qs2, Ps2, pxz2 = model.apply(
             stop_gradient_half(params, "generative"), x, k, rngs=rngs
         )
-        lw_hat = log_weights(prior, Qs2, Ps2, pxz2, x, beta=beta,
-                             stop_q_params=True)
+        # eq. 12's log-weight: the q densities' PARAMETER MAPS are
+        # phi-stopped but applied to the live latents — re-run the
+        # inference maps with fully stop-gradiented weights at the live
+        # zs (VAE.posterior_at). For one stochastic layer this equals
+        # stopping the evaluated parameters (x is constant); for
+        # hierarchical posteriors it keeps the live route
+        # z_{i-1} -> q_i's parameters that value-stopping would sever
+        # (and eq. 12 keeps). sg is forward-identity, so XLA CSE can
+        # fold this pass into the two above.
+        zs = tuple(q.z for q in Qs2)
+        sg_params = jax.tree.map(jax.lax.stop_gradient, params)
+        Qs_hat = model.apply(sg_params, x, zs, method=VAE.posterior_at)
+        lw_hat = log_weights(prior, Qs_hat, Ps2, pxz2, x, beta=beta)
         enc_surr = -jnp.mean(jnp.sum(w * w * lw_hat, axis=0))
 
         surr = dec_surr + enc_surr

@@ -140,6 +140,27 @@ class VAE(nn.Module):
             Qs.append(DistributionTuple(q, z, axes=_LATENT_AXES))
         return tuple(Qs)
 
+    def posterior_at(
+        self, x: jax.Array, zs: Tuple[jax.Array, ...]
+    ) -> Tuple[DistributionTuple, ...]:
+        """q(z_1|x), q(z_2|z_1), .. evaluated at GIVEN latents (no sampling):
+        q_i's parameters are computed from ``zs[i-1]`` and each returned
+        tuple carries ``zs[i]`` as its sample.
+
+        Exists for the DReG estimator (models/objective.py): eq. 12 of
+        Tucker et al. 2019 needs the log-weight under stop-gradiented
+        inference *parameter maps* with the latents pathwise-live. Calling
+        this with fully stop-gradiented weights on live ``zs`` keeps the
+        hierarchical route z_{i-1} -> q_i's parameters alive — stopping the
+        evaluated parameter VALUES instead would sever it and bias the
+        estimator for ``n_stochastic >= 2``."""
+        q1 = self.encoder(x)
+        Qs = [DistributionTuple(q1, zs[0], axes=_LATENT_AXES)]
+        for i, block in enumerate(self.mlp_encoders):
+            q = block(zs[i])
+            Qs.append(DistributionTuple(q, zs[i + 1], axes=_LATENT_AXES))
+        return tuple(Qs)
+
     # -- generation ---------------------------------------------------------
 
     def decode(self, z1: jax.Array) -> DistributionTuple:

@@ -236,12 +236,15 @@ def make_eval_step(
             eval_params(cfg.train, state), x, k,
             rngs={"sample": rngs["eval_sample"]},
         )
+        # free_bits is a TRAINING-only regularizer: the floored objective is
+        # constant in a collapsed layer's KL, so ranking val batches (and
+        # hence best-checkpoint selection, trainer.py) by it would pick
+        # checkpoints by reconstruction alone. Eval reports the true bound.
         loss, metrics = compute_loss(prior, Qs, Ps, pxz, x,
                                      beta=cfg.model.beta,
                                      objective=getattr(cfg.model, "objective",
                                                        "iwae"),
-                                     free_bits=getattr(cfg.model, "free_bits",
-                                                       0.0))
+                                     free_bits=0.0)
         out = _scalarize(metrics)
         out["loss"] = loss
         return out
