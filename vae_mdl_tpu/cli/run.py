@@ -298,9 +298,18 @@ def cmd_eval(args) -> None:
     mean_llh, _, metrics = evaluate_llh(
         trainer.model, cfg, eval_params(cfg.train, trainer.state),
         trainer.test_set[0], n_samples=n_samples, mesh=mesh,
+        khat=args.khat,
     )
     print(f"[eval] {n_samples}-IS test LLH: {mean_llh:.2f} nats, "
           f"bpd: {metrics['bpd']:.4f}")
+    if args.khat:
+        frac = metrics["khat_frac_gt_07"]
+        verdict = ("RELIABLE" if metrics["khat_max"] <= 0.7 else
+                   f"{frac:.1%} of images have k-hat > 0.7 — their bound "
+                   f"is unreliable at k={n_samples}; raise --n-samples")
+        print(f"[eval] PSIS k-hat (Vehtari et al. 2024): "
+              f"mean {metrics['khat_mean']:.3f}, "
+              f"max {metrics['khat_max']:.3f} -> {verdict}")
 
     if args.active_units:
         from vae_mdl_tpu.evaluation import active_units
@@ -732,6 +741,11 @@ def build_parser() -> argparse.ArgumentParser:
                          help="also report per-layer active latent units "
                               "(posterior-mean variance > 0.01, Burda et "
                               "al. 2016)")
+    sp_eval.add_argument("--khat", action="store_true",
+                         help="also report the PSIS Pareto-shape "
+                              "reliability diagnostic of the "
+                              "importance-weighted bound (k-hat > 0.7 = "
+                              "unreliable; Vehtari et al. 2024)")
     sp_eval.set_defaults(fn=cmd_eval)
 
     sp_sample = sub.add_parser("sample", help="generate images from the prior")

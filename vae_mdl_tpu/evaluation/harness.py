@@ -37,8 +37,14 @@ def make_batch_evaluator(
     n_samples: int = 5000,
     k_chunk: int = 100,
     mesh=None,
+    with_khat: bool = False,
 ):
-    """Returns jitted ``(params, uint8/float batch, key) -> llh [B]``."""
+    """Returns jitted ``(params, uint8/float batch, key) -> llh [B]``.
+
+    ``with_khat=True`` additionally returns the ``M+1`` largest log-weights
+    per image (``[M+1, B]``, M = PSIS tail size) streamed from the same
+    scan — the input to the Pareto reliability diagnostic
+    (evaluation/psis.py) — as ``(llh, top_lw)``."""
     # clamp to a divisor of n_samples so the scan covers exactly n_samples
     k_chunk = min(k_chunk, n_samples)
     while n_samples % k_chunk:
@@ -48,6 +54,14 @@ def make_batch_evaluator(
     binarize_input = (
         cfg.model.likelihood == "bernoulli" and cfg.data.dynamic_binarization
     )
+    if with_khat:
+        from vae_mdl_tpu.evaluation.psis import (
+            tail_size,
+            top_lw_init,
+            top_lw_update,
+        )
+
+        n_top = tail_size(n_samples) + 1  # M exceedances + the threshold
 
     def batch_llh(params, batch, key):
         x = batch.astype(jnp.float32)
@@ -70,6 +84,7 @@ def make_batch_evaluator(
         )
 
         def chunk(carry, k_key):
+            lme, top = carry
             Qs, Ps, pxz = model.apply(params, x, k_chunk, rngs={"sample": k_key})
             log_w = log_weights(prior, Qs, Ps, pxz, x)  # [k_chunk, B]
             if mesh is not None:
@@ -78,11 +93,18 @@ def make_batch_evaluator(
                 log_w = jax.lax.with_sharding_constraint(
                     log_w, jax.sharding.NamedSharding(mesh, P("sample", "data"))
                 )
-            return streaming_logmeanexp_update(carry, log_w, axis=0), None
+            lme = streaming_logmeanexp_update(lme, log_w, axis=0)
+            if top is not None:
+                top = top_lw_update(top, log_w)
+            return (lme, top), None
 
-        init = streaming_logmeanexp_init((x.shape[0],))
-        state, _ = jax.lax.scan(chunk, init, keys)
-        return streaming_logmeanexp_finalize(state)
+        init = (
+            streaming_logmeanexp_init((x.shape[0],)),
+            top_lw_init((x.shape[0],), n_top) if with_khat else None,
+        )
+        (state, top), _ = jax.lax.scan(chunk, init, keys)
+        llh = streaming_logmeanexp_finalize(state)
+        return (llh, top) if with_khat else llh
 
     return jax.jit(batch_llh)
 
@@ -98,8 +120,15 @@ def evaluate_llh(
     seed: int = 0,
     mesh=None,
     progress: bool = True,
+    khat: bool = False,
 ) -> Tuple[float, np.ndarray, dict]:
     """Full test-set 5000-IS log-likelihood (reference README's −85.02).
+
+    ``khat=True`` also computes the per-image PSIS Pareto-shape diagnostic
+    (evaluation/psis.py) from the streamed weight tails and reports
+    ``khat_mean`` / ``khat_max`` / ``khat_frac_gt_07`` in the metrics dict
+    (k-hat > 0.7 marks images whose importance-weighted bound is
+    unreliable at this sample count).
 
     Multi-process runs SHARD THE WORK: batches are strided across processes
     (batch i computed by process ``i % process_count``) and the per-image
@@ -118,8 +147,19 @@ def evaluate_llh(
         # batches shard over the data axis; keep them evenly divisible
         d_axis = mesh.shape["data"]
         batch_size = max(d_axis, batch_size // d_axis * d_axis)
-    evaluator = make_batch_evaluator(model, cfg, n_samples, k_chunk, mesh)
+    evaluator = make_batch_evaluator(model, cfg, n_samples, k_chunk, mesh,
+                                     with_khat=khat)
     key = jax.random.PRNGKey(seed)
+    if khat:
+        from vae_mdl_tpu.evaluation.psis import khat_from_top_log_weights
+
+    def run_batch(batch, batch_key):
+        """-> (llh [B], khat [B] or None), host-side."""
+        out = evaluator(params, batch, batch_key)
+        if khat:
+            llh, top = out
+            return np.asarray(llh), khat_from_top_log_weights(np.asarray(top))
+        return np.asarray(out), None
 
     n = len(test_images)
     n_batches = n // batch_size
@@ -135,6 +175,7 @@ def evaluate_llh(
             pass
 
     per_image = np.zeros(n, np.float32)
+    per_image_khat = np.zeros(n, np.float32) if khat else None
     local_batches = 0
     for i in indices:
         if i % n_proc != p_idx:
@@ -144,9 +185,10 @@ def evaluate_llh(
             from vae_mdl_tpu.parallel.mesh import shard_batch
 
             batch = shard_batch(mesh, batch)
-        per_image[i * batch_size:(i + 1) * batch_size] = np.asarray(
-            evaluator(params, batch, jax.random.fold_in(key, i))
-        )
+        sl = slice(i * batch_size, (i + 1) * batch_size)
+        per_image[sl], kh = run_batch(batch, jax.random.fold_in(key, i))
+        if khat:
+            per_image_khat[sl] = kh
         local_batches += 1
     if leftover and n_batches % n_proc == p_idx:
         # pad the tail batch to the static shape, then drop the padding
@@ -158,10 +200,10 @@ def evaluate_llh(
             from vae_mdl_tpu.parallel.mesh import shard_batch
 
             pad = shard_batch(mesh, pad)
-        out = np.asarray(
-            evaluator(params, pad, jax.random.fold_in(key, n_batches))
-        )
+        out, kh = run_batch(pad, jax.random.fold_in(key, n_batches))
         per_image[n_batches * batch_size:] = out[:leftover]
+        if khat:
+            per_image_khat[n_batches * batch_size:] = kh[:leftover]
         local_batches += 1
 
     if n_proc > 1:
@@ -172,6 +214,10 @@ def evaluate_llh(
         per_image = np.asarray(
             multihost_utils.process_allgather(jnp.asarray(per_image))
         ).sum(axis=0)
+        if khat:
+            per_image_khat = np.asarray(
+                multihost_utils.process_allgather(jnp.asarray(per_image_khat))
+            ).sum(axis=0)
 
     # float64 accumulation: 10k float32 values of ~1e2 magnitude can round
     # at the 1e-2 level under f32 summation — material for a parity metric
@@ -179,9 +225,19 @@ def evaluate_llh(
     mean_llh = float(per_image.mean(dtype=np.float64))
     h, w, c = cfg.model.image_shape
     bpd = -mean_llh / (math.log(2.0) * h * w * c)
-    return mean_llh, per_image, {
+    metrics = {
         "llh": mean_llh,
         "bpd": bpd,
         "n_samples": n_samples,
         "local_batches": local_batches,
     }
+    if khat:
+        finite = per_image_khat[np.isfinite(per_image_khat)]
+        # -inf entries are degenerate (near-equal-weight) tails — the
+        # lightest possible; they dilute no risk signal
+        metrics["khat_mean"] = (
+            float(finite.mean()) if finite.size else float("-inf"))
+        metrics["khat_max"] = float(per_image_khat.max())
+        metrics["khat_frac_gt_07"] = float((per_image_khat > 0.7).mean())
+        metrics["khat_per_image"] = per_image_khat
+    return mean_llh, per_image, metrics
