@@ -54,6 +54,41 @@ def test_equal_weights_are_the_lightest_tail():
     assert khat_from_log_weights(lw)[0] == float("-inf")
 
 
+def test_underflow_heavy_tail_is_worst_case_not_reliable():
+    """A handful of samples sitting thousands of nats above the rest — the
+    WORST possible proposal — underflows exp(lw - max) for the remaining
+    tail. That must read +inf (loo/arviz worst-case convention), never the
+    -inf of the tie case: reporting a catastrophic tail as reliable would
+    invert the diagnostic exactly where it matters."""
+    rng = np.random.default_rng(0)
+    lw = rng.normal(size=2000)
+    lw[0] = 3000.0  # one sample dominates by ~3000 nats
+    assert khat_from_log_weights(lw)[0] == float("inf")
+    lw[1:4] = 2500.0  # four dominating samples, still < 5 fittable
+    assert khat_from_log_weights(lw)[0] == float("inf")
+
+
+def test_khat_needs_25_samples():
+    """The full-matrix path signals NaN below the minimum tail; the
+    harness refuses at construction rather than reporting a degenerate
+    verdict."""
+    import dataclasses as dc
+
+    from vae_mdl_tpu.config import DataConfig
+    from vae_mdl_tpu.evaluation import make_batch_evaluator
+    from vae_mdl_tpu.models.vae import build_model
+    from vae_mdl_tpu.models.zoo import experiment
+
+    assert np.isnan(khat_from_log_weights(np.zeros(20))[0])
+
+    cfg = experiment("model01")
+    cfg = dc.replace(cfg, data=DataConfig(dataset="synthetic:mnist"))
+    model = build_model(cfg.model)
+    with pytest.raises(ValueError, match="n_samples >= 25"):
+        make_batch_evaluator(model, cfg, n_samples=20, k_chunk=20,
+                             with_khat=True)
+
+
 def test_khat_detects_proposal_mismatch():
     """Self-normalised importance sampling of N(0,1) under a proposal
     N(0, s^2): the weight w = phi(z)/q(z) has finite variance iff

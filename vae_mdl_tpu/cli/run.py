@@ -304,12 +304,19 @@ def cmd_eval(args) -> None:
           f"bpd: {metrics['bpd']:.4f}")
     if args.khat:
         frac = metrics["khat_frac_gt_07"]
-        verdict = ("RELIABLE" if metrics["khat_max"] <= 0.7 else
-                   f"{frac:.1%} of images have k-hat > 0.7 — their bound "
-                   f"is unreliable at k={n_samples}; raise --n-samples")
+        kmax = metrics["khat_max"]
+        if kmax < 0.5:
+            verdict = "RELIABLE (k < 0.5: CLT-rate convergence)"
+        elif kmax <= 0.7:
+            verdict = ("MARGINAL (0.5 <= k <= 0.7: usable but "
+                       "slower-than-CLT convergence)")
+        else:
+            verdict = (f"{frac:.1%} of images have k-hat > 0.7 — their "
+                       f"bound is unreliable at k={n_samples}; raise "
+                       "--n-samples")
         print(f"[eval] PSIS k-hat (Vehtari et al. 2024): "
               f"mean {metrics['khat_mean']:.3f}, "
-              f"max {metrics['khat_max']:.3f} -> {verdict}")
+              f"max {kmax:.3f} -> {verdict}")
 
     if args.active_units:
         from vae_mdl_tpu.evaluation import active_units

@@ -61,6 +61,13 @@ def make_batch_evaluator(
             top_lw_update,
         )
 
+        if tail_size(n_samples) < 5:
+            raise ValueError(
+                f"khat needs a tail of >= 5 weights to fit the GPD; "
+                f"n_samples={n_samples} gives tail_size="
+                f"{tail_size(n_samples)}. Use n_samples >= 25 or drop "
+                "the diagnostic."
+            )
         n_top = tail_size(n_samples) + 1  # M exceedances + the threshold
 
     def batch_llh(params, batch, key):
@@ -233,10 +240,12 @@ def evaluate_llh(
     }
     if khat:
         finite = per_image_khat[np.isfinite(per_image_khat)]
-        # -inf entries are degenerate (near-equal-weight) tails — the
-        # lightest possible; they dilute no risk signal
+        # ±inf entries are degenerate tails (-inf: equal weights; +inf:
+        # underflow-heavy, see psis.khat_from_top_log_weights) — the mean
+        # covers the fittable images, max/frac carry the degenerate risk
         metrics["khat_mean"] = (
-            float(finite.mean()) if finite.size else float("-inf"))
+            float(finite.mean()) if finite.size
+            else float(per_image_khat.max()))
         metrics["khat_max"] = float(per_image_khat.max())
         metrics["khat_frac_gt_07"] = float((per_image_khat > 0.7).mean())
         metrics["khat_per_image"] = per_image_khat

@@ -40,14 +40,16 @@ def fit_gpd_khat(exceedances: np.ndarray) -> float:
     """GPD shape k-hat for positive exceedances over the tail threshold,
     via Zhang & Stephens 2009 (the profile posterior mean PSIS prescribes),
     including PSIS's weak prior shrinking k toward 0.5 with ~10
-    observations' weight."""
+    observations' weight. Returns NaN when fewer than 5 positive
+    exceedances survive — the fit itself cannot say whether that is a
+    tie-degenerate (light) or underflow-degenerate (heavy) tail; callers
+    with access to the log-weights must decide
+    (``khat_from_top_log_weights``)."""
     x = np.sort(np.asarray(exceedances, np.float64))
     x = x[x > 0]  # ties with the threshold carry no tail information
     n = x.size
     if n < 5 or not np.isfinite(x[-1]):
-        # degenerate tail: (near-)equal weights is the LIGHTEST possible
-        # tail — report -inf rather than failing the fit
-        return float("-inf")
+        return float("nan")
     m = 30 + int(math.sqrt(n))
     bs = 1.0 - np.sqrt(m / (np.arange(1, m + 1) - 0.5))
     bs = bs / (3.0 * x[max(int(n / 4 + 0.5) - 1, 0)]) + 1.0 / x[-1]
@@ -62,7 +64,20 @@ def fit_gpd_khat(exceedances: np.ndarray) -> float:
 
 def khat_from_top_log_weights(top_lw: np.ndarray) -> np.ndarray:
     """k-hat per column from the ``M+1`` LARGEST log-weights ``[M+1, B]``
-    (the smallest row is the tail threshold; the other M are the tail)."""
+    (the smallest row is the tail threshold; the other M are the tail).
+
+    Degenerate tails are resolved from the log-weights, where the two
+    failure modes are distinguishable:
+
+    - (near-)TIES — the whole tail within ~0 nats of the threshold — is
+      the lightest possible tail: **-inf** (a perfect proposal).
+    - UNDERFLOW — the tail spans so many nats that ``exp(lw - max)``
+      flushes most of it to zero — is the heaviest possible tail (a
+      handful of samples dominate the estimate by hundreds of nats):
+      **+inf**, matching loo/arviz's worst-case convention. Reporting
+      these as reliable would invert the diagnostic exactly where it
+      matters most (early or mismatched checkpoints).
+    """
     top = np.sort(np.asarray(top_lw, np.float64), axis=0)  # ascending
     out = np.empty(top.shape[1], np.float64)
     for j in range(top.shape[1]):
@@ -70,7 +85,11 @@ def khat_from_top_log_weights(top_lw: np.ndarray) -> np.ndarray:
         scale = col[-1]  # k-hat is normalisation-invariant
         w = np.exp(col - scale)
         exceed = w[1:] - w[0]  # over the (M+1)-th largest weight
-        out[j] = fit_gpd_khat(exceed)
+        k = fit_gpd_khat(exceed)
+        if math.isnan(k):
+            spread = col[-1] - col[0]  # nats from threshold to max
+            k = float("-inf") if spread <= 1e-8 else float("inf")
+        out[j] = k
     return out
 
 
