@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vae_mdl_tpu.config import DataConfig
 from vae_mdl_tpu.evaluation.harness import evaluate_llh, make_batch_evaluator
@@ -107,3 +108,48 @@ def test_evaluate_llh_small_tail_large_batch():
     )
     assert per_image.shape == (3,)
     assert np.isfinite(per_image).all()
+
+
+def test_k_curve_rows_are_exact_partial_bounds():
+    """with_curve: row j of the curve IS the k=(j+1)*k_chunk bound over the
+    same weight stream — pinned against logmeanexp of the concatenated
+    chunk log-weights, and the last row equals the returned llh."""
+    cfg, model, params, x = _setup()
+    ev = make_batch_evaluator(model, cfg, n_samples=20, k_chunk=5,
+                              with_curve=True)
+    llh, curve = ev(params, x, jax.random.PRNGKey(7))
+    assert curve.shape == (4, x.shape[0])
+
+    keys = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(7), 1), 4)
+    prior = prior_for(cfg.model)
+    lws = [
+        log_weights(prior, *model.apply(params, x, 5, rngs={"sample": k}), x=x)
+        for k in keys
+    ]
+    for j in range(4):
+        partial = logmeanexp(jnp.concatenate(lws[: j + 1], 0), axis=0)
+        np.testing.assert_allclose(np.asarray(curve[j]), np.asarray(partial),
+                                   rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(curve[-1]), np.asarray(llh),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_k_curve_through_evaluate_llh_with_ragged_tail_and_khat():
+    """The test-set mean curve survives batching, tail padding (the pad
+    columns must NOT contribute), and composes with the khat extra; its
+    final entry is the returned mean."""
+    cfg, model, params, _ = _setup()
+    imgs = (np.random.default_rng(3).random((11, 28, 28, 1)) * 255).astype(
+        np.uint8
+    )
+    mean_llh, per_image, metrics = evaluate_llh(
+        model, cfg, params, imgs, n_samples=30, k_chunk=10, batch_size=4,
+        progress=False, khat=True, k_curve=True,
+    )
+    assert list(metrics["k_curve_ks"]) == [10, 20, 30]
+    assert metrics["k_curve_llh"].shape == (3,)
+    assert mean_llh == pytest.approx(metrics["k_curve_llh"][-1], rel=1e-6)
+    # curve mean at full k must also equal the per-image mean directly
+    assert metrics["k_curve_llh"][-1] == pytest.approx(
+        float(per_image.mean(dtype=np.float64)), rel=1e-6)
+    assert "khat_mean" in metrics  # extras compose

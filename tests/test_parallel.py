@@ -555,3 +555,65 @@ def test_tp_sharding_keeps_heads_replicated():
     assert p["encoder"]["MLPBlock_0"]["Dense_0"]["kernel"].spec == \
         P(None, "model")
     assert p["decoder"]["Dense_0"]["kernel"].spec == P(None, "model")
+
+
+def test_hybrid_mesh_slice_major_on_data_axis():
+    """Multi-slice (DCN) topology: the mesh orders slices as major blocks on
+    the data axis, so the sample axis never crosses a slice boundary and only
+    the gradient all-reduce rides DCN (parallel/mesh.py make_mesh)."""
+    from vae_mdl_tpu.parallel.mesh import n_slices
+
+    # simulate 2 ICI slices of 4 devices joined by DCN
+    slice_of = lambda d: d.id // 4  # noqa: E731
+    mesh = make_mesh(MeshConfig(data=4, sample=2), slice_of=slice_of)
+    assert mesh.shape == {"data": 4, "sample": 2}
+    arr = mesh.devices
+    # each data row lives entirely in one slice; slice 0 = rows 0-1
+    for row in range(4):
+        ids = {slice_of(d) for d in arr[row]}
+        assert ids == {row // 2}, (row, ids)
+    # CPU devices carry no slice_index -> reports one slice
+    assert n_slices(mesh) == 1
+
+    # interleaved slice assignment still groups slice-major
+    mesh2 = make_mesh(MeshConfig(data=8, sample=1),
+                      slice_of=lambda d: d.id % 2)
+    col = [d.id % 2 for d in mesh2.devices[:, 0]]
+    assert col == [0, 0, 0, 0, 1, 1, 1, 1]
+
+    # no slice info (the default on CPU): enumeration order unchanged
+    base = make_mesh(MeshConfig(data=4, sample=2))
+    assert [d.id for d in base.devices.flat] == list(range(8))
+
+
+def test_hybrid_mesh_rejects_bad_slice_layouts():
+    # data axis must be a multiple of the slice count
+    with pytest.raises(ValueError, match="multiple of the DCN slice count"):
+        make_mesh(MeshConfig(data=2, sample=4), slice_of=lambda d: d.id // 2)
+    # unequal slice sizes
+    with pytest.raises(ValueError, match="unequal DCN slice sizes"):
+        make_mesh(MeshConfig(data=8, sample=1),
+                  slice_of=lambda d: 0 if d.id < 3 else 1)
+
+
+def test_hybrid_mesh_train_step_matches_single_device():
+    """Device ordering is a layout decision, not a math one: the same update
+    comes out of a 2-slice hybrid mesh as out of one device."""
+    cfg = _cfg()
+    model = build_model(cfg.model)
+    tx = make_optimizer(cfg.train)
+    x_f32 = jnp.zeros((16, 28, 28, 1))
+    state = create_train_state(model, cfg.train, x_f32, cfg.model.n_samples)
+    step = make_train_step(model, cfg, tx, donate=False)
+    batch = np.random.default_rng(1).integers(
+        0, 256, (16, 28, 28, 1), dtype=np.uint8
+    )
+    s1, m1 = step(state, jnp.asarray(batch))
+
+    mesh = make_mesh(MeshConfig(data=4, sample=2),
+                     slice_of=lambda d: d.id // 4)
+    s2, m2 = step(shard_state(mesh, state), shard_batch(mesh, batch))
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    np.testing.assert_allclose(np.asarray(jax.tree.leaves(s1.params)[0]),
+                               np.asarray(jax.tree.leaves(s2.params)[0]),
+                               rtol=1e-4, atol=1e-6)

@@ -298,7 +298,7 @@ def cmd_eval(args) -> None:
     mean_llh, _, metrics = evaluate_llh(
         trainer.model, cfg, eval_params(cfg.train, trainer.state),
         trainer.test_set[0], n_samples=n_samples, mesh=mesh,
-        khat=args.khat,
+        khat=args.khat, k_curve=args.k_curve,
     )
     print(f"[eval] {n_samples}-IS test LLH: {mean_llh:.2f} nats, "
           f"bpd: {metrics['bpd']:.4f}")
@@ -317,6 +317,17 @@ def cmd_eval(args) -> None:
         print(f"[eval] PSIS k-hat (Vehtari et al. 2024): "
               f"mean {metrics['khat_mean']:.3f}, "
               f"max {kmax:.3f} -> {verdict}")
+    if args.k_curve:
+        ks = metrics["k_curve_ks"]
+        vals = metrics["k_curve_llh"]
+        # log-spaced rows + the final one; the whole curve is in metrics
+        shown = sorted({len(ks) - 1} | {
+            int(round(len(ks) ** (p / 6))) - 1 for p in range(7)})
+        print("[eval] IS convergence (test-mean bound vs k, one stream):")
+        for j in shown:
+            tail = "  (final)" if j == len(ks) - 1 else (
+                f"  ({vals[-1] - vals[j]:+.3f} to final)")
+            print(f"         k={int(ks[j]):>6d}  {vals[j]:.3f}{tail}")
 
     if args.active_units:
         from vae_mdl_tpu.evaluation import active_units
@@ -567,6 +578,9 @@ def cmd_describe(args) -> None:
             "batch_divides_flattened": batch % (d * s * mm) == 0,
             "eval_samples_per_sample_device": ks // max(s, 1),
             "eval_samples_divide": ks % max(s, 1) == 0,
+            # multi-slice fleets: make_mesh lays slices out as major blocks
+            # on 'data'; sample/model collectives stay on ICI
+            "dcn_axis": "data",
         }
 
     if getattr(args, "json", False):
@@ -650,6 +664,9 @@ def cmd_describe(args) -> None:
         print(f"    optimizer      ZeRO-1 available: moments reduce-"
               f"scattered over all {d * s * mm} devices "
               f"(parallel/spmd.py)")
+        print(f"    multi-slice    on DCN-joined fleets 'data' is the "
+              f"slice-major axis; sample/model collectives stay on ICI "
+              f"(parallel/mesh.py)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -753,6 +770,11 @@ def build_parser() -> argparse.ArgumentParser:
                               "reliability diagnostic of the "
                               "importance-weighted bound (k-hat > 0.7 = "
                               "unreliable; Vehtari et al. 2024)")
+    sp_eval.add_argument("--k-curve", action="store_true",
+                         help="also report the IS-convergence curve: the "
+                              "test-mean bound at every k-chunk of the "
+                              "same weight stream (a curve still climbing "
+                              "at the final k = quote a larger k)")
     sp_eval.set_defaults(fn=cmd_eval)
 
     sp_sample = sub.add_parser("sample", help="generate images from the prior")

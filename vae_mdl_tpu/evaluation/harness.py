@@ -31,6 +31,15 @@ from vae_mdl_tpu.models.objective import log_weights
 from vae_mdl_tpu.models.vae import prior_for
 
 
+def effective_chunks(n_samples: int, k_chunk: int) -> Tuple[int, int]:
+    """Clamp ``k_chunk`` to a divisor of ``n_samples`` so the scan covers
+    exactly ``n_samples``; returns ``(k_chunk, n_chunks)``."""
+    k_chunk = min(k_chunk, n_samples)
+    while n_samples % k_chunk:
+        k_chunk -= 1
+    return k_chunk, n_samples // k_chunk
+
+
 def make_batch_evaluator(
     model,
     cfg: ExperimentConfig,
@@ -38,18 +47,21 @@ def make_batch_evaluator(
     k_chunk: int = 100,
     mesh=None,
     with_khat: bool = False,
+    with_curve: bool = False,
 ):
     """Returns jitted ``(params, uint8/float batch, key) -> llh [B]``.
 
     ``with_khat=True`` additionally returns the ``M+1`` largest log-weights
     per image (``[M+1, B]``, M = PSIS tail size) streamed from the same
     scan — the input to the Pareto reliability diagnostic
-    (evaluation/psis.py) — as ``(llh, top_lw)``."""
-    # clamp to a divisor of n_samples so the scan covers exactly n_samples
-    k_chunk = min(k_chunk, n_samples)
-    while n_samples % k_chunk:
-        k_chunk -= 1
-    n_chunks = n_samples // k_chunk
+    (evaluation/psis.py).
+
+    ``with_curve=True`` additionally returns the IS-convergence curve: the
+    partial bound after every k-chunk (``[n_chunks, B]``, row j = the
+    k=(j+1)*k_chunk bound over the SAME weight stream — finalize is O(B),
+    so the curve costs one log per chunk, nothing more). Extras are
+    appended in the order ``(llh[, top_lw][, curve])``."""
+    k_chunk, n_chunks = effective_chunks(n_samples, k_chunk)
     prior = prior_for(cfg.model)
     binarize_input = (
         cfg.model.likelihood == "bernoulli" and cfg.data.dynamic_binarization
@@ -103,15 +115,21 @@ def make_batch_evaluator(
             lme = streaming_logmeanexp_update(lme, log_w, axis=0)
             if top is not None:
                 top = top_lw_update(top, log_w)
-            return (lme, top), None
+            y = streaming_logmeanexp_finalize(lme) if with_curve else None
+            return (lme, top), y
 
         init = (
             streaming_logmeanexp_init((x.shape[0],)),
             top_lw_init((x.shape[0],), n_top) if with_khat else None,
         )
-        (state, top), _ = jax.lax.scan(chunk, init, keys)
+        (state, top), curve = jax.lax.scan(chunk, init, keys)
         llh = streaming_logmeanexp_finalize(state)
-        return (llh, top) if with_khat else llh
+        out = (llh,)
+        if with_khat:
+            out += (top,)
+        if with_curve:
+            out += (curve,)
+        return out if len(out) > 1 else llh
 
     return jax.jit(batch_llh)
 
@@ -128,6 +146,7 @@ def evaluate_llh(
     mesh=None,
     progress: bool = True,
     khat: bool = False,
+    k_curve: bool = False,
 ) -> Tuple[float, np.ndarray, dict]:
     """Full test-set 5000-IS log-likelihood (reference README's −85.02).
 
@@ -136,6 +155,15 @@ def evaluate_llh(
     ``khat_mean`` / ``khat_max`` / ``khat_frac_gt_07`` in the metrics dict
     (k-hat > 0.7 marks images whose importance-weighted bound is
     unreliable at this sample count).
+
+    ``k_curve=True`` also reports the IS-convergence curve — the test-set
+    mean bound at every k-chunk boundary of the SAME weight stream
+    (``metrics["k_curve_ks"]`` / ``metrics["k_curve_llh"]``; the last
+    entry equals the returned mean). The bound is monotone in k in
+    expectation, so a curve still visibly climbing at the final k says
+    the quoted number is loose at this sample count — the convergence
+    readout to pair with the k-hat tail diagnostic. Costs one O(B)
+    finalize per chunk — negligible against the k-chunk decoder pass.
 
     Multi-process runs SHARD THE WORK: batches are strided across processes
     (batch i computed by process ``i % process_count``) and the per-image
@@ -155,18 +183,21 @@ def evaluate_llh(
         d_axis = mesh.shape["data"]
         batch_size = max(d_axis, batch_size // d_axis * d_axis)
     evaluator = make_batch_evaluator(model, cfg, n_samples, k_chunk, mesh,
-                                     with_khat=khat)
+                                     with_khat=khat, with_curve=k_curve)
     key = jax.random.PRNGKey(seed)
     if khat:
         from vae_mdl_tpu.evaluation.psis import khat_from_top_log_weights
 
     def run_batch(batch, batch_key):
-        """-> (llh [B], khat [B] or None), host-side."""
+        """-> (llh [B], khat [B]|None, curve [n_chunks, B]|None), host-side."""
         out = evaluator(params, batch, batch_key)
-        if khat:
-            llh, top = out
-            return np.asarray(llh), khat_from_top_log_weights(np.asarray(top))
-        return np.asarray(out), None
+        if not isinstance(out, tuple):
+            out = (out,)
+        llh, rest = np.asarray(out[0]), list(out[1:])
+        kh = (khat_from_top_log_weights(np.asarray(rest.pop(0)))
+              if khat else None)
+        curve = np.asarray(rest.pop(0), np.float64) if k_curve else None
+        return llh, kh, curve
 
     n = len(test_images)
     n_batches = n // batch_size
@@ -183,6 +214,9 @@ def evaluate_llh(
 
     per_image = np.zeros(n, np.float32)
     per_image_khat = np.zeros(n, np.float32) if khat else None
+    n_chunks = effective_chunks(n_samples, k_chunk)[1]
+    # per-chunk SUM of per-image partial bounds, accumulated in float64
+    curve_sum = np.zeros(n_chunks, np.float64) if k_curve else None
     local_batches = 0
     for i in indices:
         if i % n_proc != p_idx:
@@ -193,9 +227,11 @@ def evaluate_llh(
 
             batch = shard_batch(mesh, batch)
         sl = slice(i * batch_size, (i + 1) * batch_size)
-        per_image[sl], kh = run_batch(batch, jax.random.fold_in(key, i))
+        per_image[sl], kh, cv = run_batch(batch, jax.random.fold_in(key, i))
         if khat:
             per_image_khat[sl] = kh
+        if k_curve:
+            curve_sum += cv.sum(axis=1)
         local_batches += 1
     if leftover and n_batches % n_proc == p_idx:
         # pad the tail batch to the static shape, then drop the padding
@@ -207,10 +243,12 @@ def evaluate_llh(
             from vae_mdl_tpu.parallel.mesh import shard_batch
 
             pad = shard_batch(mesh, pad)
-        out, kh = run_batch(pad, jax.random.fold_in(key, n_batches))
+        out, kh, cv = run_batch(pad, jax.random.fold_in(key, n_batches))
         per_image[n_batches * batch_size:] = out[:leftover]
         if khat:
             per_image_khat[n_batches * batch_size:] = kh[:leftover]
+        if k_curve:
+            curve_sum += cv[:, :leftover].sum(axis=1)
         local_batches += 1
 
     if n_proc > 1:
@@ -224,6 +262,11 @@ def evaluate_llh(
         if khat:
             per_image_khat = np.asarray(
                 multihost_utils.process_allgather(jnp.asarray(per_image_khat))
+            ).sum(axis=0)
+        if k_curve:
+            # disjoint batches contribute disjoint per-image sums
+            curve_sum = np.asarray(
+                multihost_utils.process_allgather(jnp.asarray(curve_sum))
             ).sum(axis=0)
 
     # float64 accumulation: 10k float32 values of ~1e2 magnitude can round
@@ -249,4 +292,8 @@ def evaluate_llh(
         metrics["khat_max"] = float(per_image_khat.max())
         metrics["khat_frac_gt_07"] = float((per_image_khat > 0.7).mean())
         metrics["khat_per_image"] = per_image_khat
+    if k_curve:
+        k_eff = effective_chunks(n_samples, k_chunk)[0]
+        metrics["k_curve_ks"] = np.arange(1, n_chunks + 1) * k_eff
+        metrics["k_curve_llh"] = curve_sum / n
     return mean_llh, per_image, metrics

@@ -1,6 +1,7 @@
 from vae_mdl_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    n_slices,
     replicated,
     shard_batch,
     shard_state,
@@ -15,6 +16,7 @@ from vae_mdl_tpu.parallel.tensor import (
 
 __all__ = [
     "make_mesh",
+    "n_slices",
     "batch_sharding",
     "replicated",
     "shard_batch",

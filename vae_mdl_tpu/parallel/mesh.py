@@ -25,21 +25,77 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vae_mdl_tpu.config import MeshConfig
 
 
-def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
+def make_mesh(cfg: Optional[MeshConfig] = None, devices=None, *,
+              slice_of=None) -> Mesh:
+    """Build the ``(data[, sample][, model])`` mesh over ``devices``.
+
+    Multi-slice topologies (several ICI slices joined by DCN — the standard
+    multi-pod production layout) are detected automatically: when the devices
+    carry distinct ``slice_index`` values, the mesh is ordered *slice-major on
+    the data axis*, so that
+
+    - the ``sample`` (k-axis logsumexp) and ``model`` (tensor-parallel)
+      collectives stay entirely inside one slice and ride ICI, and
+    - the only collective that crosses DCN is the once-per-step gradient
+      all-reduce on ``data`` — the bandwidth-tolerant one.
+
+    ``slice_of`` overrides the grouping (device -> slice id), used by tests
+    and the dryrun to simulate slices on hosts whose devices carry no
+    ``slice_index`` (CPU). Single-slice meshes keep jax's device enumeration
+    order unchanged.
+    """
     cfg = cfg or MeshConfig()
-    devices = devices if devices is not None else jax.devices()
+    devices = list(devices) if devices is not None else jax.devices()
     n = len(devices)
     sample = max(1, cfg.sample)
     model = max(1, getattr(cfg, "model", 1))
     data = cfg.data if cfg.data > 0 else n // (sample * model)
     if data * sample * model != n:
         raise ValueError(f"mesh {data}x{sample}x{model} != {n} devices")
+    arr = _device_array(devices, data, sample, model, slice_of)
     if model > 1:
         # third axis: hidden channels (tensor parallelism, parallel/tensor.py)
-        arr = np.asarray(devices).reshape(data, sample, model)
         return Mesh(arr, axis_names=("data", "sample", "model"))
-    arr = np.asarray(devices).reshape(data, sample)
-    return Mesh(arr, axis_names=("data", "sample"))
+    return Mesh(arr.reshape(data, sample), axis_names=("data", "sample"))
+
+
+def _device_array(devices, data, sample, model, slice_of):
+    """Order ``devices`` into a (data, sample, model) array; slice-major on
+    the data axis when the topology spans multiple DCN slices."""
+    key = slice_of or (lambda d: getattr(d, "slice_index", None))
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(key(d), []).append(d)
+    if len(groups) <= 1 or None in groups:
+        # single slice (or no slice information): keep enumeration order
+        return np.asarray(devices).reshape(data, sample, model)
+    n_slices = len(groups)
+    sizes = {sid: len(g) for sid, g in groups.items()}
+    if len(set(sizes.values())) != 1:
+        raise ValueError(f"unequal DCN slice sizes: {sizes}")
+    if data % n_slices != 0:
+        raise ValueError(
+            f"data axis ({data}) must be a multiple of the DCN slice count "
+            f"({n_slices}) so each slice holds whole data-parallel rows; "
+            f"sample/model axes always stay inside one slice"
+        )
+    per_slice_data = data // n_slices
+    if per_slice_data * sample * model != len(devices) // n_slices:
+        raise ValueError(
+            f"a {per_slice_data}x{sample}x{model} per-slice block != "
+            f"{len(devices) // n_slices} devices per slice"
+        )
+    blocks = [
+        np.asarray(groups[sid]).reshape(per_slice_data, sample, model)
+        for sid in sorted(groups)
+    ]
+    return np.concatenate(blocks, axis=0)
+
+
+def n_slices(mesh: Mesh) -> int:
+    """Number of distinct DCN slices the mesh spans (1 on one slice/CPU)."""
+    ids = {getattr(d, "slice_index", None) for d in mesh.devices.flat}
+    return 1 if ids == {None} else len(ids)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
