@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import math
 import os
 from typing import Optional
 
@@ -305,6 +306,8 @@ def cmd_eval(args) -> None:
     if args.khat:
         frac = metrics["khat_frac_gt_07"]
         kmax = metrics["khat_max"]
+        n_under = metrics["khat_n_underflow"]
+        n_ties = metrics["khat_n_ties"]
         if kmax < 0.5:
             verdict = "RELIABLE (k < 0.5: CLT-rate convergence)"
         elif kmax <= 0.7:
@@ -314,9 +317,14 @@ def cmd_eval(args) -> None:
             verdict = (f"{frac:.1%} of images have k-hat > 0.7 — their "
                        f"bound is unreliable at k={n_samples}; raise "
                        "--n-samples")
+        mean = metrics["khat_mean"]
+        mean_str = f"{mean:.3f}" if math.isfinite(mean) else "n/a (no fittable tails)"
         print(f"[eval] PSIS k-hat (Vehtari et al. 2024): "
-              f"mean {metrics['khat_mean']:.3f}, "
-              f"max {kmax:.3f} -> {verdict}")
+              f"mean {mean_str}, max {kmax:.3f} -> {verdict}")
+        if n_under or n_ties:
+            print(f"[eval]   degenerate tails: {n_under} underflow-heavy "
+                  f"(treated as unreliable), {n_ties} all-tied "
+                  f"(perfect-proposal) of {len(trainer.test_set[0])} images")
     if args.k_curve:
         ks = metrics["k_curve_ks"]
         vals = metrics["k_curve_llh"]

@@ -264,10 +264,20 @@ def evaluate_llh(
                 multihost_utils.process_allgather(jnp.asarray(per_image_khat))
             ).sum(axis=0)
         if k_curve:
-            # disjoint batches contribute disjoint per-image sums
-            curve_sum = np.asarray(
-                multihost_utils.process_allgather(jnp.asarray(curve_sum))
-            ).sum(axis=0)
+            # disjoint batches contribute disjoint per-image sums; gather
+            # without an f32 downcast (jnp.asarray on a float64 array
+            # silently casts with x64 off) by splitting each f64 sum into
+            # exactly-representable hi/lo float32 parts and re-summing in
+            # float64 after the gather
+            hi = curve_sum.astype(np.float32)
+            lo = (curve_sum - hi.astype(np.float64)).astype(np.float32)
+            gathered = np.asarray(
+                multihost_utils.process_allgather(
+                    jnp.stack([jnp.asarray(hi), jnp.asarray(lo)])
+                ),
+                np.float64,
+            )  # [P, 2, n_chunks]
+            curve_sum = gathered.sum(axis=(0, 1))
 
     # float64 accumulation: 10k float32 values of ~1e2 magnitude can round
     # at the 1e-2 level under f32 summation — material for a parity metric
@@ -285,12 +295,15 @@ def evaluate_llh(
         finite = per_image_khat[np.isfinite(per_image_khat)]
         # ±inf entries are degenerate tails (-inf: equal weights; +inf:
         # underflow-heavy, see psis.khat_from_top_log_weights) — the mean
-        # covers the fittable images, max/frac carry the degenerate risk
+        # covers the fittable images only and is NaN when none exist
+        # (never an ±inf posing as a mean); the explicit degenerate
+        # counts carry the rest of the story
         metrics["khat_mean"] = (
-            float(finite.mean()) if finite.size
-            else float(per_image_khat.max()))
+            float(finite.mean()) if finite.size else float("nan"))
         metrics["khat_max"] = float(per_image_khat.max())
         metrics["khat_frac_gt_07"] = float((per_image_khat > 0.7).mean())
+        metrics["khat_n_underflow"] = int((per_image_khat == np.inf).sum())
+        metrics["khat_n_ties"] = int((per_image_khat == -np.inf).sum())
         metrics["khat_per_image"] = per_image_khat
     if k_curve:
         k_eff = effective_chunks(n_samples, k_chunk)[0]

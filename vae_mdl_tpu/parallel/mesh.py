@@ -79,12 +79,9 @@ def _device_array(devices, data, sample, model, slice_of):
             f"({n_slices}) so each slice holds whole data-parallel rows; "
             f"sample/model axes always stay inside one slice"
         )
+    # equal slice sizes + data*sample*model == n already guarantee each
+    # slice holds exactly per_slice_data x sample x model devices
     per_slice_data = data // n_slices
-    if per_slice_data * sample * model != len(devices) // n_slices:
-        raise ValueError(
-            f"a {per_slice_data}x{sample}x{model} per-slice block != "
-            f"{len(devices) // n_slices} devices per slice"
-        )
     blocks = [
         np.asarray(groups[sid]).reshape(per_slice_data, sample, model)
         for sid in sorted(groups)
@@ -93,9 +90,14 @@ def _device_array(devices, data, sample, model, slice_of):
 
 
 def n_slices(mesh: Mesh) -> int:
-    """Number of distinct DCN slices the mesh spans (1 on one slice/CPU)."""
+    """Number of distinct DCN slices the mesh spans (1 on one slice/CPU).
+
+    Any device without slice info means the mesh was NOT laid out
+    slice-major (``_device_array`` falls back to enumeration order when
+    ``None`` appears in the groups), so partial slice info reports 1 to
+    stay consistent with the layout actually built."""
     ids = {getattr(d, "slice_index", None) for d in mesh.devices.flat}
-    return 1 if ids == {None} else len(ids)
+    return 1 if None in ids else len(ids)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
