@@ -37,12 +37,12 @@ from vae_mdl_tpu.config import ExperimentConfig
 from vae_mdl_tpu.models.objective import training_loss_fn
 from vae_mdl_tpu.models.vae import prior_for
 from vae_mdl_tpu.train.steps import (
+    apply_update,
     effective_beta,
+    ema_step,
     preprocess_train,
-    skip_select,
-    update_ok,
 )
-from vae_mdl_tpu.train.state import TrainState, ema_update
+from vae_mdl_tpu.train.state import TrainState
 
 
 def make_shard_map_train_step(
@@ -88,31 +88,17 @@ def make_shard_map_train_step(
         metrics = jax.tree.map(lambda m: jax.lax.pmean(jnp.mean(m), axes),
                                metrics)
 
-        want_gnorm = (cfg.train.grad_skip_threshold > 0
-                      or cfg.train.grad_clip_norm > 0)
-        if want_gnorm:  # grads pmean'd: same value on every device
-            gnorm = optax.global_norm(grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        if cfg.train.grad_skip_threshold > 0:
-            ok = update_ok(loss, gnorm, cfg.train.grad_skip_threshold)
-            params = skip_select(ok, params, state.params)
-            opt_state = skip_select(ok, opt_state, state.opt_state)
-            metrics["skipped"] = (~ok).astype(jnp.float32)
-        ema = state.ema_params
-        if cfg.train.ema_decay > 0 and ema is not None:
-            # params are exactly replicated after the pmean'd update, so the
-            # per-device EMA stays replicated too
-            new_ema = ema_update(cfg.train.ema_decay, ema, params)
-            ema = (skip_select(ok, new_ema, ema)
-                   if cfg.train.grad_skip_threshold > 0 else new_ema)
+        # shared policy on the pmean'd (hence replicated) grads: the default
+        # local global_norm IS the global norm, and params/EMA stay exactly
+        # replicated after the identical per-device update
+        params, opt_state, ok, stats = apply_update(
+            cfg, tx, state.params, state.opt_state, grads, loss)
+        metrics.update(stats)
         new_state = state.replace(
             params=params, opt_state=opt_state, step=state.step + 1,
-            ema_params=ema,
+            ema_params=ema_step(cfg, state.ema_params, params, ok),
         )
         metrics["loss"] = loss
-        if want_gnorm:
-            metrics["grad_norm"] = gnorm
         return new_state, metrics
 
     replicated = P()
@@ -215,6 +201,7 @@ def make_zero1_train_step(
         p_mine = jax.lax.dynamic_slice_in_dim(pflat, didx * shard, shard)
 
         loss = jax.lax.pmean(loss, axes)
+        gnorm = None
         want_gnorm = (cfg.train.grad_skip_threshold > 0
                       or cfg.train.grad_clip_norm > 0)
         if want_gnorm:
@@ -231,12 +218,11 @@ def make_zero1_train_step(
             g_mine = g_mine * jnp.minimum(
                 1.0, cfg.train.grad_clip_norm / jnp.maximum(gnorm, 1e-16))
 
-        updates, opt_state = tx.update(g_mine, state.opt_state, p_mine)
-        new_p_mine = optax.apply_updates(p_mine, updates)
-        if cfg.train.grad_skip_threshold > 0:
-            ok = update_ok(loss, gnorm, cfg.train.grad_skip_threshold)
-            new_p_mine = skip_select(ok, new_p_mine, p_mine)
-            opt_state = skip_select(ok, opt_state, state.opt_state)
+        # shared policy on the parameter SLICE, passing the collective norm
+        # (tx sees only this device's slice; the pre-scaling above already
+        # applied the one true clip, so the inner clip is an exact no-op)
+        new_p_mine, opt_state, ok, stats = apply_update(
+            cfg, tx, p_mine, state.opt_state, g_mine, loss, grad_norm=gnorm)
 
         new_flat = jax.lax.all_gather(new_p_mine, axes, tiled=True)
         new_params = punravel(new_flat[:n])
@@ -244,19 +230,11 @@ def make_zero1_train_step(
         metrics = jax.tree.map(lambda m: jax.lax.pmean(jnp.mean(m), axes),
                                metrics)
         metrics["loss"] = loss
-        if want_gnorm:
-            metrics["grad_norm"] = gnorm
-        if cfg.train.grad_skip_threshold > 0:
-            metrics["skipped"] = (~ok).astype(jnp.float32)
-        ema = state.ema_params
-        if cfg.train.ema_decay > 0 and ema is not None:
-            # EMA over the all-gathered (replicated) params
-            new_ema = ema_update(cfg.train.ema_decay, ema, new_params)
-            ema = (skip_select(ok, new_ema, ema)
-                   if cfg.train.grad_skip_threshold > 0 else new_ema)
+        metrics.update(stats)
         new_state = state.replace(
             params=new_params, opt_state=opt_state, step=state.step + 1,
-            ema_params=ema,
+            # EMA over the all-gathered (replicated) params
+            ema_params=ema_step(cfg, state.ema_params, new_params, ok),
         )
         return new_state, metrics
 
