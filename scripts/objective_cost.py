@@ -16,12 +16,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import numpy as np  # noqa: E402
+
 from bench import _train_throughput  # noqa: E402
 
 
 def main():
     for name in ("model01", "model05"):
-        base, _, _ = _train_throughput(name)
+        base = float(np.median(_train_throughput(name)[0]))
         print(f"{name} iwae baseline: {base:.0f} imgs/s", flush=True)
         for label, m_over, t_over in (
             ("iwae_dreg", dict(objective="iwae_dreg"), {}),
@@ -29,8 +31,8 @@ def main():
             ("elbo+free_bits", dict(objective="elbo", free_bits=0.25), {}),
             ("iwae+beta_warmup", {}, dict(beta_warmup_steps=10_000)),
         ):
-            t, _, _ = _train_throughput(name, model_over=m_over,
-                                        train_over=t_over)
+            t = float(np.median(_train_throughput(name, model_over=m_over,
+                                                  train_over=t_over)[0]))
             print(f"{name} {label}: {t:.0f} imgs/s "
                   f"({100 * (t / base - 1):+.1f}%)", flush=True)
 
