@@ -98,17 +98,24 @@ def time_scanned_step(train_step, state, batch, spc: int,
     drift (docs/design.md §12b); every reported metric therefore ships a
     median/min/stddev triple (``rate_stats``) so round-over-round deltas
     can be read against the measured noise band instead of an anecdote
-    (VERDICT r3 weak #1)."""
+    (VERDICT r3 weak #1).
+
+    Sync discipline: each timed block ends with a VALUE FETCH of the last
+    step's loss — on the tunnelled backend ``block_until_ready`` can ack a
+    dispatch without waiting for device completion (measured,
+    ops/pallas/vpu_probe.py), so only a host transfer is a reliable clock
+    stop. The loss depends on the whole scanned chain, so fetching it
+    fences every dispatch in the block."""
     for _ in range(2):
         state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     rates = []
     for _ in range(n_repeats):
         t0 = time.perf_counter()
         for _ in range(n_iters):
             state, metrics = train_step(state, batch)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
         rates.append(n_iters * spc * batch_size / (time.perf_counter() - t0))
     return np.asarray(rates[1:])
 
@@ -200,14 +207,37 @@ def _eval_throughput(batch_size: int = 100, k_chunk: int = 100,
         rng.integers(0, 256, (batch_size, 32, 32, 3), dtype=np.uint8)
     )
     llh = evaluator(state.params, batch, jax.random.PRNGKey(0))
-    jax.block_until_ready(llh)
+    float(llh[0])  # value fetch = the only reliable sync on this relay
     rates = []
     for r in range(1 + n_timed):  # first timed call discarded
         t0 = time.perf_counter()
         llh = evaluator(state.params, batch, jax.random.PRNGKey(1 + r))
-        jax.block_until_ready(llh)
+        float(llh[0])
         rates.append(batch_size / (time.perf_counter() - t0))
     return np.asarray(rates[1:])
+
+
+def _vpu_floor(step_seconds: float):
+    """(floor_seconds, frac): the MoDL likelihood's transcendental VPU
+    floor per optimizer step — analytic op census priced at live-measured
+    per-op rates (utils.flops.mdl_transcendental_census x
+    ops/pallas/vpu_probe) — against the measured step time. The
+    falsifiable denominator for the model05 perf-floor claim
+    (VERDICT r3 item #1; methodology: scripts/vpu_roofline.py,
+    results docs/design.md §12m)."""
+    if jax.default_backend() != "tpu":
+        return None, None
+    from vae_mdl_tpu.models.zoo import experiment
+    from vae_mdl_tpu.ops.pallas.vpu_probe import (
+        measure_rates,
+        vpu_floor_seconds,
+    )
+    from vae_mdl_tpu.utils.flops import mdl_train_transcendentals
+
+    cfg = experiment("model05")
+    counts = mdl_train_transcendentals(cfg.model, cfg.data.batch_size)
+    floor = vpu_floor_seconds(counts, measure_rates())
+    return floor, floor / step_seconds
 
 
 def main():
@@ -271,6 +301,10 @@ def main():
         float(np.median(r04)) * (flops04 / batch04) / V5E_PEAK_FLOPS, 4)
     out.update(rate_stats("model05_eval5000_imgs_per_sec", r_eval))
     out["eval_mfu"] = round(eval_mfu, 4)
+    floor_s, frac = _vpu_floor(batch / imgs05)
+    if floor_s is not None:
+        out["model05_vpu_floor_ms"] = round(floor_s * 1e3, 3)
+        out["model05_vpu_bound_frac"] = round(frac, 4)
     out.update(rate_stats("biladder_celeba64_imgs_per_sec", r_bl))
     out["biladder_celeba64_mfu"] = round(bl_mfu, 4)
     print(json.dumps(out))

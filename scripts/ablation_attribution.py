@@ -26,6 +26,11 @@ Run SOLO on the TPU: python scripts/ablation_attribution.py
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import dataclasses
 import json
 import time
@@ -53,15 +58,22 @@ def _cfg(**model_over):
     return cfg
 
 
-def time_step(step, state, batch, n_iters=5):
+def time_step(step, state, batch, n_iters=5, n_repeats=4):
+    """Median of repeated timed blocks, clock stopped by a VALUE FETCH of
+    the last loss (block_until_ready does not reliably block on this
+    relay — CLAUDE.md; the state chain makes the fetch fence every
+    dispatch in the block)."""
     for _ in range(2):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
-    return (time.perf_counter() - t0) / (n_iters * SPC) * 1e3  # ms/step
+    float(metrics["loss"])
+    ts = []
+    for _ in range(n_repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, metrics = step(state, batch)
+        float(metrics["loss"])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / (n_iters * SPC) * 1e3  # ms/step
 
 
 def build(cfg):

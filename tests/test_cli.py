@@ -169,3 +169,70 @@ def test_cli_eval_without_checkpoint_warns(tmp_path, monkeypatch, capsys):
     ])
     out = capsys.readouterr().out
     assert "WARNING" in out and "test LLH" in out
+
+
+def test_cli_parity_rehearsal_synthetic(tmp_path, monkeypatch, capsys):
+    """The turnkey parity command (VERDICT r3 item #4), rehearsed on the
+    synthetic fallback: trains the (shortened) protocol, runs the eval
+    with k-hat + k-curve, writes a report marked as a rehearsal, and never
+    claims parity (no exit 1 even when the number misses the target)."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    main([
+        "parity", "model01", "--dataset", "synthetic:mnist",
+        "--allow-synthetic",
+        "--n-updates", "4", "--eval-interval", "2",
+        "--batch-size", "8", "--n-samples", "25",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--log-dir", str(tmp_path / "tb"),
+        "--mesh", "none",
+    ])
+    out = capsys.readouterr().out
+    assert "SYNTHETIC REHEARSAL" in out
+    with open(tmp_path / "ckpt" / "model01" / "parity.json") as f:
+        rep = json.load(f)
+    assert rep["synthetic_rehearsal"] is True
+    assert rep["status"] in ("PASS", "FAIL")
+    assert rep["target"]["value"] == -85.02
+    assert rep["n_samples"] == 25
+    for key in ("llh", "bpd", "khat_mean", "khat_frac_gt_07",
+                "k_curve_second_half_climb"):
+        assert key in rep, key
+
+
+def test_cli_parity_refuses_synthetic_and_missing_data(tmp_path, monkeypatch):
+    """Without --allow-synthetic the command refuses synthetic datasets,
+    and with real datasets it verifies the files up front, naming the
+    expected layout instead of silently falling back."""
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit, match="allow-synthetic"):
+        main(["parity", "model01", "--dataset", "synthetic:mnist",
+              "--checkpoint-dir", str(tmp_path / "ckpt"), "--mesh", "none"])
+    with pytest.raises(SystemExit, match="expected layout"):
+        main(["parity", "model01", "--data-dir", str(tmp_path / "nodata"),
+              "--checkpoint-dir", str(tmp_path / "ckpt"), "--mesh", "none"])
+
+
+def test_cli_parity_digits_real_data(tmp_path, monkeypatch):
+    """End-to-end on the REAL offline digits set: a deliberately short run
+    misses the -71.3 target -> status FAIL, exit code 1, report written —
+    the full command path exercised on non-synthetic data in-suite."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit) as e:
+        main([
+            "parity", "digits",
+            "--n-updates", "4", "--eval-interval", "2",
+            "--batch-size", "8", "--n-samples", "25",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--log-dir", str(tmp_path / "tb"),
+            "--mesh", "none",
+        ])
+    assert e.value.code == 1
+    with open(tmp_path / "ckpt" / "digits" / "parity.json") as f:
+        rep = json.load(f)
+    assert rep["status"] == "FAIL"
+    assert rep["synthetic_rehearsal"] is False
+    assert rep["target"]["metric"] == "llh"

@@ -187,6 +187,8 @@ def cmd_train(args) -> None:
     state = trainer.fit(profile_dir=args.profile)
     print(f"[train] finished at step {int(state.step)}, "
           f"best val loss {float(state.best_val_loss):.4f}")
+    khat = getattr(args, "khat", False)
+    k_curve = getattr(args, "k_curve", False)
 
     # reload "best" BEFORE the asset grids, like the final eval — reference
     # parity (models/model01.py:306-317: model.load("best") precedes
@@ -198,7 +200,8 @@ def cmd_train(args) -> None:
     _dump_assets(trainer, cfg)
     if not args.skip_final_eval:
         _final_eval(trainer, cfg,
-                    args.n_samples or cfg.train.n_eval_samples, mesh)
+                    args.n_samples or cfg.train.n_eval_samples, mesh,
+                    khat=khat, k_curve=k_curve)
 
 
 def _import_reference(trainer, cfg, prefix: str, what: str) -> None:
@@ -243,7 +246,47 @@ def _maybe_bias_init(trainer, cfg) -> None:
     print("[train] decoder output bias initialised to train-mean logits")
 
 
-def _final_eval(trainer, cfg, n_samples, mesh) -> None:
+def _print_khat(metrics, n_samples: int, n_images: int) -> None:
+    """The PSIS k-hat readout (shared by eval and train's final eval)."""
+    frac = metrics["khat_frac_gt_07"]
+    kmax = metrics["khat_max"]
+    n_under = metrics["khat_n_underflow"]
+    n_ties = metrics["khat_n_ties"]
+    if kmax < 0.5:
+        verdict = "RELIABLE (k < 0.5: CLT-rate convergence)"
+    elif kmax <= 0.7:
+        verdict = ("MARGINAL (0.5 <= k <= 0.7: usable but "
+                   "slower-than-CLT convergence)")
+    else:
+        verdict = (f"{frac:.1%} of images have k-hat > 0.7 — their "
+                   f"bound is unreliable at k={n_samples}; raise "
+                   "--n-samples")
+    mean = metrics["khat_mean"]
+    mean_str = (f"{mean:.3f}" if math.isfinite(mean)
+                else "n/a (no fittable tails)")
+    print(f"[eval] PSIS k-hat (Vehtari et al. 2024): "
+          f"mean {mean_str}, max {kmax:.3f} -> {verdict}")
+    if n_under or n_ties:
+        print(f"[eval]   degenerate tails: {n_under} underflow-heavy "
+              f"(treated as unreliable), {n_ties} all-tied "
+              f"(perfect-proposal) of {n_images} images")
+
+
+def _print_k_curve(metrics) -> None:
+    ks = metrics["k_curve_ks"]
+    vals = metrics["k_curve_llh"]
+    # log-spaced rows + the final one; the whole curve is in metrics
+    shown = sorted({len(ks) - 1} | {
+        int(round(len(ks) ** (p / 6))) - 1 for p in range(7)})
+    print("[eval] IS convergence (test-mean bound vs k, one stream):")
+    for j in shown:
+        tail = "  (final)" if j == len(ks) - 1 else (
+            f"  ({vals[-1] - vals[j]:+.3f} to final)")
+        print(f"         k={int(ks[j]):>6d}  {vals[j]:.3f}{tail}")
+
+
+def _final_eval(trainer, cfg, n_samples, mesh,
+                khat: bool = False, k_curve: bool = False) -> None:
     from vae_mdl_tpu.evaluation import evaluate_llh
 
     # cmd_train already reloaded "best" into trainer.state before the asset
@@ -253,10 +296,14 @@ def _final_eval(trainer, cfg, n_samples, mesh) -> None:
 
     mean_llh, _, metrics = evaluate_llh(
         trainer.model, cfg, eval_params(cfg.train, state), trainer.test_set[0],
-        n_samples=n_samples, mesh=mesh,
+        n_samples=n_samples, mesh=mesh, khat=khat, k_curve=k_curve,
     )
     print(f"[eval] {n_samples}-IS test LLH: {mean_llh:.2f} nats, "
           f"bpd: {metrics['bpd']:.4f}")
+    if khat:
+        _print_khat(metrics, n_samples, len(trainer.test_set[0]))
+    if k_curve:
+        _print_k_curve(metrics)
 
 
 def _dump_assets(trainer, cfg, out_dir: str = "./assets") -> None:
@@ -304,38 +351,9 @@ def cmd_eval(args) -> None:
     print(f"[eval] {n_samples}-IS test LLH: {mean_llh:.2f} nats, "
           f"bpd: {metrics['bpd']:.4f}")
     if args.khat:
-        frac = metrics["khat_frac_gt_07"]
-        kmax = metrics["khat_max"]
-        n_under = metrics["khat_n_underflow"]
-        n_ties = metrics["khat_n_ties"]
-        if kmax < 0.5:
-            verdict = "RELIABLE (k < 0.5: CLT-rate convergence)"
-        elif kmax <= 0.7:
-            verdict = ("MARGINAL (0.5 <= k <= 0.7: usable but "
-                       "slower-than-CLT convergence)")
-        else:
-            verdict = (f"{frac:.1%} of images have k-hat > 0.7 — their "
-                       f"bound is unreliable at k={n_samples}; raise "
-                       "--n-samples")
-        mean = metrics["khat_mean"]
-        mean_str = f"{mean:.3f}" if math.isfinite(mean) else "n/a (no fittable tails)"
-        print(f"[eval] PSIS k-hat (Vehtari et al. 2024): "
-              f"mean {mean_str}, max {kmax:.3f} -> {verdict}")
-        if n_under or n_ties:
-            print(f"[eval]   degenerate tails: {n_under} underflow-heavy "
-                  f"(treated as unreliable), {n_ties} all-tied "
-                  f"(perfect-proposal) of {len(trainer.test_set[0])} images")
+        _print_khat(metrics, n_samples, len(trainer.test_set[0]))
     if args.k_curve:
-        ks = metrics["k_curve_ks"]
-        vals = metrics["k_curve_llh"]
-        # log-spaced rows + the final one; the whole curve is in metrics
-        shown = sorted({len(ks) - 1} | {
-            int(round(len(ks) ** (p / 6))) - 1 for p in range(7)})
-        print("[eval] IS convergence (test-mean bound vs k, one stream):")
-        for j in shown:
-            tail = "  (final)" if j == len(ks) - 1 else (
-                f"  ({vals[-1] - vals[j]:+.3f} to final)")
-            print(f"         k={int(ks[j]):>6d}  {vals[j]:.3f}{tail}")
+        _print_k_curve(metrics)
 
     if args.active_units:
         from vae_mdl_tpu.evaluation import active_units
@@ -484,6 +502,139 @@ def cmd_convert(args) -> None:
           f"{cfg.train.checkpoint_dir}/{cfg.model.name} — eval/sample read "
           "it directly; train warm-starts from it (auto-resume falls back "
           "to 'best' when no 'latest' exists)")
+
+
+# reference-parity targets (BASELINE.md): metric, value, absolute
+# tolerance, source. model01's band is the prescribed 0.5% of the target;
+# the BPD rows carry the precision the reference publishes ("≈" to one
+# decimal -> ±0.05); digits is the in-suite rehearsal target on the one
+# real offline dataset (repo README).
+_PARITY_TARGETS = {
+    "model01": ("llh", -85.02, 0.43, "/root/reference/README.md:11-13"),
+    "model05": ("bpd", 4.5, 0.05, "/root/reference/README.md:75-77"),
+    "model06": ("bpd", 5.4, 0.05, "/root/reference/README.md:88-90"),
+    "digits": ("llh", -71.3, 1.5, "README.md (digits protocol row)"),
+}
+
+# expected on-disk layouts (data/sources.py), shown when files are missing
+_DATA_LAYOUTS = {
+    "mnist": "<data-dir>/train-images-idx3-ubyte[.gz] (+ t10k-*)",
+    "svhn_cropped": "<data-dir>/{train,test[,extra]}_32x32.mat",
+    "cifar10": "<data-dir>/cifar-10-batches-py/data_batch_*",
+    "celeba": "<data-dir>/celeba-tfr/{train,validation}/* (Glow shards)",
+}
+
+
+def cmd_parity(args) -> None:
+    """One-command reference parity (VERDICT r3 item #4): verify the data
+    files exist, run the reference-length protocol (resumable), the
+    5000-IS eval with the k-hat + k-curve reliability diagnostics, compare
+    against the BASELINE.md target, and write a parity report JSON.
+    Exits 1 on a failed comparison so scripts can gate on it."""
+    import json as _json
+    import time as _time
+
+    from vae_mdl_tpu.parallel.distributed import init_distributed
+    from vae_mdl_tpu.train.trainer import Trainer
+
+    init_distributed()
+    cfg = _apply_overrides(_base_config(args), args)
+    name = cfg.model.name
+    synthetic = cfg.data.dataset.startswith("synthetic")
+    if synthetic and not args.allow_synthetic:
+        raise SystemExit(
+            f"parity: dataset {cfg.data.dataset!r} is synthetic — a parity "
+            "run needs real data (--data-dir); pass --allow-synthetic only "
+            "to rehearse the command path")
+    if not synthetic and not args.allow_synthetic:
+        # fail loudly up front, never silently fall back to synthetic
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, strict=True))
+        from vae_mdl_tpu.data.sources import load_dataset
+
+        try:
+            load_dataset(cfg.data.dataset, cfg.data.data_dir,
+                         allow_synthetic_fallback=False)
+        except FileNotFoundError as e:
+            layout = _DATA_LAYOUTS.get(cfg.data.dataset, "")
+            raise SystemExit(
+                f"parity: {e}\nexpected layout: {layout}\n"
+                f"(docs/parity.md lists every dataset's files)")
+
+    target = _PARITY_TARGETS.get(name)
+    mesh = _make_mesh_or_none(args.mesh, cfg.mesh)
+    trainer = Trainer(cfg, mesh=mesh)
+
+    if not args.eval_only:
+        if name == "model01":
+            _maybe_bias_init(trainer, cfg)
+        state = trainer.fit()
+        print(f"[parity] trained to step {int(state.step)}, best val loss "
+              f"{float(state.best_val_loss):.4f}")
+    if trainer.ckpt.has("best"):
+        trainer.state = trainer.ckpt.restore(trainer.state, "best")
+    elif args.eval_only and int(trainer.state.step) == 0:
+        raise SystemExit(
+            f"parity --eval-only: no checkpoint found under "
+            f"{cfg.train.checkpoint_dir}/{name}")
+    _dump_assets(trainer, cfg)
+
+    from vae_mdl_tpu.evaluation import evaluate_llh
+    from vae_mdl_tpu.train.state import eval_params
+
+    n_samples = args.n_samples or cfg.train.n_eval_samples
+    mean_llh, _, metrics = evaluate_llh(
+        trainer.model, cfg, eval_params(cfg.train, trainer.state),
+        trainer.test_set[0], n_samples=n_samples, mesh=mesh,
+        khat=True, k_curve=True,
+    )
+    curve = metrics["k_curve_llh"]
+    report = {
+        "model": name,
+        "dataset": cfg.data.dataset,
+        "synthetic_rehearsal": bool(synthetic or args.allow_synthetic),
+        "step": int(trainer.state.step),
+        "n_updates_protocol": cfg.train.n_updates,
+        "n_samples": n_samples,
+        "llh": mean_llh,
+        "bpd": metrics["bpd"],
+        "khat_mean": metrics["khat_mean"],
+        "khat_max": metrics["khat_max"],
+        "khat_frac_gt_07": metrics["khat_frac_gt_07"],
+        "khat_n_underflow": metrics["khat_n_underflow"],
+        "khat_n_ties": metrics["khat_n_ties"],
+        # bound climb over the second half of the weight stream: ~0 means
+        # the quoted number is converged at this sample count
+        "k_curve_second_half_climb": float(curve[-1] - curve[len(curve) // 2]),
+        "timestamp": _time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    if target is None:
+        report.update(status="NO_TARGET", target=None)
+        verdict = f"no reference target for {name!r} (report only)"
+    else:
+        metric, value, tol, source = target
+        got = report[metric]
+        ok = abs(got - value) <= tol
+        report.update(
+            status="PASS" if ok else "FAIL",
+            target={"metric": metric, "value": value, "tolerance": tol,
+                    "source": source},
+            deviation=got - value,
+        )
+        verdict = (f"{metric}={got:.4f} vs target {value} ±{tol} "
+                   f"({source}) -> {report['status']}")
+    if report["synthetic_rehearsal"]:
+        verdict += "  [SYNTHETIC REHEARSAL — not a parity claim]"
+
+    path = args.report or os.path.join(
+        cfg.train.checkpoint_dir, name, "parity.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        _json.dump(report, f, indent=2)
+    print(f"[parity] {verdict}")
+    print(f"[parity] report: {path}")
+    if report["status"] == "FAIL" and not report["synthetic_rehearsal"]:
+        raise SystemExit(1)
 
 
 def cmd_list(args) -> None:
@@ -762,6 +913,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp_train = sub.add_parser("train", help="train + final 5000-IS eval + assets")
     common(sp_train)
     sp_train.add_argument("--skip-final-eval", action="store_true")
+    sp_train.add_argument("--khat", action="store_true",
+                          help="final eval also reports the PSIS k-hat "
+                               "reliability diagnostic (protocol runs "
+                               "should pass this)")
+    sp_train.add_argument("--k-curve", action="store_true",
+                          help="final eval also reports the IS-convergence "
+                               "curve")
     sp_train.set_defaults(fn=cmd_train)
 
     sp_eval = sub.add_parser("eval", help="5000-IS test evaluation")
@@ -821,6 +979,23 @@ def build_parser() -> argparse.ArgumentParser:
                             choices=["best", "latest"],
                             help="tag for the converted checkpoint")
     sp_convert.set_defaults(fn=cmd_convert)
+
+    sp_par = sub.add_parser(
+        "parity",
+        help="one-command reference parity: verify data files, run the "
+             "reference-length protocol (resumable), 5000-IS eval with "
+             "k-hat/k-curve, compare vs BASELINE.md, write a report JSON")
+    common(sp_par)
+    sp_par.add_argument("--eval-only", action="store_true",
+                        help="skip training; evaluate existing checkpoints")
+    sp_par.add_argument("--allow-synthetic", action="store_true",
+                        help="rehearse the full parity path on synthetic "
+                             "fallback data (marked in the report; never a "
+                             "parity claim)")
+    sp_par.add_argument("--report", metavar="FILE",
+                        help="report path (default "
+                             "<checkpoint-dir>/<model>/parity.json)")
+    sp_par.set_defaults(fn=cmd_parity)
 
     sp_list = sub.add_parser("list", help="list model configs")
     sp_list.set_defaults(fn=cmd_list)

@@ -133,6 +133,48 @@ def train_step_flops(model_cfg, batch: int) -> float:
     return 3.0 * forward_flops(model_cfg, batch)
 
 
+def mdl_transcendental_census(n_mix: int) -> dict:
+    """Per-PIXEL transcendental-op counts of the fused MoDL kernels
+    (ops/pallas/mdl_kernel.py `_kernel` / `_bwd_kernel`), by source-level
+    op — the analytic numerator of the VPU roofline (VERDICT r3 item #1).
+
+    Derivation (n = n_mix; one DL cascade element = 1 exp [inv_std],
+    2 sigmoid [CDF ends], 3 softplus [2 edges + approx], 1 log [main
+    branch]; the cascade runs on the stacked [3n, BP] block):
+
+    forward: tanh 3n (coeffs) | exp 3n (cascade) + 2n (two logsumexps)
+      | sigmoid 6n | softplus 9n | log 3n + 2 (logsumexp finals)
+    backward (assumes XLA/Mosaic CSE merges the cascade recompute's
+      inv_std/sigmoid pairs with `_dl_grads`' identical subexpressions —
+      the conservative, smaller count): tanh 3n | exp 3n (cascade,
+      shared) + 3n (log_softmax + softmax(w) + softmax(logits))
+      | sigmoid 6n (shared CDF ends) + 6n (`c_ap`, `le`) | softplus 9n
+      | log 3n + 1
+
+    Counts are in units of jax.nn-level calls, matching what the
+    roofline microbenchmark (scripts/vpu_roofline.py) measures per op —
+    primitive decomposition (softplus -> exp+log1p, ...) cancels between
+    numerator and denominator."""
+    n = n_mix
+    return {
+        "fwd": {"tanh": 3 * n, "exp": 5 * n, "sigmoid": 6 * n,
+                "softplus": 9 * n, "log": 3 * n + 2},
+        "bwd": {"tanh": 3 * n, "exp": 6 * n, "sigmoid": 12 * n,
+                "softplus": 9 * n, "log": 3 * n + 1},
+    }
+
+
+def mdl_train_transcendentals(model_cfg, batch: int) -> dict:
+    """Total transcendental ops per optimizer STEP spent in the MoDL
+    likelihood (one fwd + one bwd kernel pass over the [k, B, H, W]
+    pixel grid), by op type."""
+    h, w, _ = model_cfg.image_shape
+    pixels = batch * model_cfg.n_samples * h * w
+    census = mdl_transcendental_census(model_cfg.n_mix)
+    return {op: float((census["fwd"][op] + census["bwd"][op]) * pixels)
+            for op in census["fwd"]}
+
+
 def _residual_block_flops(hw, c_in: int, hidden: int, out: int) -> float:
     """1x1 -> 3x3 -> 3x3 -> 1x1 bottleneck (+1x1 shortcut when widths change),
     nn/blocks.py ResidualBlock."""
