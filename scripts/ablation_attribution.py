@@ -133,10 +133,24 @@ def main():
     out["fwd_only"] = round(time_step(step, state, batch), 3)
     print("fwd_only", out["fwd_only"], "ms/step", flush=True)
 
+    # dl_head forward-only: splits the mixture cost into its fwd and bwd
+    # kernel halves — (fwd_only - fwd_only_dl) is the fwd kernel's share,
+    # the rest of (full - dl_head) is the bwd kernel's (round 4, §12m
+    # optimization targeting)
+    cfg_dl = _cfg(likelihood="dl")
+    step_dl = fwd_only_step(cfg_dl)
+    _, state_dl = build(cfg_dl)
+    out["fwd_only_dl"] = round(time_step(step_dl, state_dl, batch), 3)
+    print("fwd_only_dl", out["fwd_only_dl"], "ms/step", flush=True)
+
     full = out["full"]
     attribution = {
         "modl_kernel_vs_xla_gain_ms": round(out["jnp_modl"] - full, 3),
         "mixture_math_ms": round(full - out["dl_head"], 3),
+        "mixture_fwd_ms": round(out["fwd_only"] - out["fwd_only_dl"], 3),
+        "mixture_bwd_ms": round(
+            (full - out["dl_head"]) - (out["fwd_only"] - out["fwd_only_dl"]),
+            3),
         "k_scaling_4x_samples_ms": round(full - out["k1"], 3),
         "backward_plus_adam_ms": round(full - out["fwd_only"], 3),
         "imgs_per_sec_full": round(BATCH / full * 1e3, 1),
