@@ -243,6 +243,11 @@ def _vpu_floor(step_seconds: float):
 def main():
     r05, flops_step, batch = _train_throughput("model05")
     r05_bf16, _, _ = _train_throughput("model05", compute_dtype="bfloat16")
+    # bf16 likelihood-boundary: the single biggest model05 lever found by
+    # the §12n structural decomposition (the mixture cost is ~all data
+    # movement; halving the custom-call boundary tensor bought +9%)
+    r05_bf16io, _, _ = _train_throughput(
+        "model05", model_over={"likelihood_io_dtype": "bfloat16"})
     r01, _, _ = _train_throughput("model01")
     # model04: the wide-GLU family — the positive control showing the
     # machine sustains >50% MFU when the likelihood is cheap
@@ -292,6 +297,7 @@ def main():
     }
     out.update(rate_stats("model05_imgs_per_sec", r05))
     out.update(rate_stats("model05_bf16_imgs_per_sec", r05_bf16))
+    out.update(rate_stats("model05_bf16io_imgs_per_sec", r05_bf16io))
     out.update(rate_stats("model05_resident_imgs_per_sec", r05_res))
     out["model05_resident_mfu"] = round(
         float(np.median(r05_res)) * flops_per_img / V5E_PEAK_FLOPS, 4)

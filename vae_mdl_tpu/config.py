@@ -82,6 +82,14 @@ class ModelConfig:
     # measured faster than XLA fusion in train AND eval, docs/design.md §7 —
     # off elsewhere); True/False force
     use_pallas: Optional[bool] = None
+    # quantize the decoder-head -> likelihood boundary tensor (the MoDL
+    # parameter tensor that crosses the Pallas custom-call boundary) to
+    # this dtype, e.g. "bfloat16". The likelihood MATH still runs float32
+    # (kernel and jnp path upcast in-register); only the materialized
+    # boundary tensor shrinks, halving its HBM traffic: +9% model05 train
+    # throughput measured (docs/design.md §12n). None = float32 boundary
+    # (exact reference-parity numerics). mdl likelihood only.
+    likelihood_io_dtype: Optional[str] = None
     beta: float = 1.0  # KL weight in the bound (reference always 1.0)
     # "iwae" | "elbo" (reference exports both, models/loss.py:26-70) |
     # "iwae_dreg" — the IWAE bound trained with doubly-reparameterized

@@ -124,13 +124,17 @@ class MixtureDiscretizedLogistic(Distribution):
             from vae_mdl_tpu.ops.pallas.mdl_kernel import mdl_log_prob
 
             return mdl_log_prob(x, self.parameters)
-        return mixture_log_prob(x, self.parameters)
+        # likelihood math stays float32 even when the boundary tensor is
+        # quantized (config.likelihood_io_dtype): the upcast fuses into the
+        # elementwise chain's reads, so no f32 copy materializes
+        return mixture_log_prob(x, self.parameters.astype(jnp.float32))
 
     def sample(self, key: jax.Array, sample_shape: Tuple[int, ...] = ()) -> jax.Array:
         """Ancestral-ish sampling: logistic draws autoregressed on *samples*
         (not on data), then mixture selection via one categorical draw per
         pixel. Parity: /root/reference/utils/mdl.py:209-252."""
-        loc, logscale, coeffs, mix_logits = split_mixture_params(self.parameters)
+        loc, logscale, coeffs, mix_logits = split_mixture_params(
+            self.parameters.astype(jnp.float32))
         k_logistic, k_cat = jax.random.split(key)
 
         from vae_mdl_tpu.distributions.continuous import Logistic

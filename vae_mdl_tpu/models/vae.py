@@ -83,6 +83,7 @@ class VAE(nn.Module):
                 n_mix=cfg.n_mix,
                 bound_logstd=cfg.bound_logstd,
                 use_pallas=cfg.use_pallas,
+                likelihood_io_dtype=cfg.likelihood_io_dtype,
                 dtype=dtype,
             )
         else:
@@ -99,6 +100,7 @@ class VAE(nn.Module):
                 n_mix=cfg.n_mix,
                 bound_logstd=cfg.bound_logstd,
                 use_pallas=cfg.use_pallas,
+                likelihood_io_dtype=cfg.likelihood_io_dtype,
                 head_pad=cfg.decoder.head_pad,
                 dtype=dtype,
             )

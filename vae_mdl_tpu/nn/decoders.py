@@ -82,9 +82,16 @@ def resolve_use_pallas(use_pallas: Optional[bool], likelihood: str,
 
 def make_observation(
     out: jax.Array, likelihood: str, bound_logstd: bool = False,
-    use_pallas: Optional[bool] = None,
+    use_pallas: Optional[bool] = None, io_dtype: Optional[str] = None,
 ) -> Obs:
-    """Turn raw head output into the configured observation distribution."""
+    """Turn raw head output into the configured observation distribution.
+
+    ``io_dtype`` (mdl only): quantize the materialized head->likelihood
+    boundary tensor — the cast fuses into the head conv's epilogue, so the
+    parameter tensor crosses the Pallas custom-call boundary at half width
+    (+9% model05 train throughput at "bfloat16", design.md §12n); the
+    likelihood math itself still runs float32 (the kernel and the jnp
+    fallback both upcast in-register)."""
     use_pallas = resolve_use_pallas(use_pallas, likelihood, operand=out)
     out = out.astype(jnp.float32)
     if likelihood == "bernoulli":
@@ -103,6 +110,8 @@ def make_observation(
             use_pallas=use_pallas,
         )
     if likelihood == "mdl":
+        if io_dtype is not None:
+            out = out.astype(io_dtype)
         return MixtureDiscretizedLogistic(out, event_axes=_IMAGE_AXES,
                                           use_pallas=use_pallas)
     if likelihood == "pmdl":
@@ -125,7 +134,8 @@ def ladder_observation(module, z1: jax.Array) -> DistributionTuple:
     h = module.obs_up(z1)
     out = module.obs_head(h.astype(jnp.float32))
     pxz = make_observation(out, cfg.likelihood, cfg.bound_logstd,
-                           cfg.use_pallas)
+                           cfg.use_pallas,
+                           getattr(cfg, "likelihood_io_dtype", None))
     return DistributionTuple(pxz, pxz.sample(module.make_rng("sample")),
                              axes=pxz.event_axes)
 
@@ -150,6 +160,7 @@ class MLPDecoder(nn.Module):
     n_mix: int = 5
     bound_logstd: bool = False
     use_pallas: Optional[bool] = None
+    likelihood_io_dtype: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -166,7 +177,7 @@ class MLPDecoder(nn.Module):
         img_c = head_channels(self.likelihood, c, self.n_mix)
         out = out.reshape(z.shape[:-1] + (h, w, img_c))
         return make_observation(out, self.likelihood, self.bound_logstd,
-                                self.use_pallas)
+                                self.use_pallas, self.likelihood_io_dtype)
 
 
 class ConvDecoder(nn.Module):
@@ -189,6 +200,7 @@ class ConvDecoder(nn.Module):
     n_mix: int = 5
     bound_logstd: bool = False
     use_pallas: Optional[bool] = None
+    likelihood_io_dtype: Optional[str] = None
     head_pad: int = 0  # emit >= this many head channels, slice to n_head
     dtype: Dtype = jnp.float32
 
@@ -239,4 +251,4 @@ class ConvDecoder(nn.Module):
             out = out[..., :n_head]
         out = unmerge(out)
         return make_observation(out, self.likelihood, self.bound_logstd,
-                                self.use_pallas)
+                                self.use_pallas, self.likelihood_io_dtype)
