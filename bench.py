@@ -191,11 +191,16 @@ def _eval_throughput(batch_size: int = 100, k_chunk: int = 100,
     from vae_mdl_tpu.train.state import create_train_state
 
     cfg = experiment("model05")
+    # production eval config: bf16 conv body + Pallas kernel + bf16
+    # likelihood boundary (+29% measured on this path, design.md §12n —
+    # the k_chunk x batch parameter tensor dominates the evaluator's HBM
+    # traffic); parity evals (cli parity/eval defaults) stay f32
     cfg = dataclasses.replace(
         cfg,
         data=DataConfig(dataset="synthetic:svhn_cropped"),
         model=dataclasses.replace(cfg.model, compute_dtype="bfloat16",
-                                  use_pallas=True),
+                                  use_pallas=True,
+                                  likelihood_io_dtype="bfloat16"),
     )
     model = build_model(cfg.model)
     x0 = jnp.zeros((16, 32, 32, 3), jnp.float32)
