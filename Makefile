@@ -4,7 +4,11 @@
 CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 MESH_ENV := $(CPU_ENV) XLA_FLAGS=--xla_force_host_platform_device_count=8
 
-.PHONY: test test-fast bench dryrun lint
+.PHONY: test test-fast bench dryrun lint parity
+
+# one-command reference parity (VERDICT r3 #4): make parity MODEL=model01 DATA_DIR=/path
+parity:
+	python -m vae_mdl_tpu.cli.run parity $(MODEL) --data-dir $(DATA_DIR)
 
 test:
 	$(CPU_ENV) python -m pytest tests/ -q

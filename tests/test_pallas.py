@@ -193,3 +193,33 @@ class TestMDLKernel:
             loss, _ = compute_loss(prior_for(cfg), Qs, Ps, pxz, x)
             losses.append(float(loss))
         assert losses[0] == pytest.approx(losses[1], rel=1e-5)
+
+
+def test_vpu_probe_plumbing():
+    """The roofline probe machinery (ops/pallas/vpu_probe.py) runs in
+    interpret mode: loop kernels execute, rates come back positive, and
+    the floor arithmetic prices a census at given rates. (Real rates are
+    TPU-only — scripts/vpu_roofline.py; design.md §12m.)"""
+    from vae_mdl_tpu.ops.pallas.vpu_probe import (
+        OPS,
+        measure_op_rate,
+        vpu_floor_seconds,
+    )
+    from vae_mdl_tpu.utils.flops import (
+        mdl_train_transcendentals,
+        mdl_transcendental_census,
+    )
+    from vae_mdl_tpu.models.zoo import experiment
+
+    rate = measure_op_rate("exp", block=(8, 128), grid=1,
+                           iters=(1, 2001), repeats=2)
+    assert rate > 0
+    assert set(OPS) == {"exp", "log", "tanh", "sigmoid", "softplus"}
+
+    census = mdl_transcendental_census(5)
+    assert census["fwd"]["softplus"] == 45 and census["bwd"]["sigmoid"] == 60
+    counts = mdl_train_transcendentals(experiment("model05").model, 128)
+    # one fake rate: floor = total ops / rate
+    total = sum(counts.values())
+    assert vpu_floor_seconds(counts, {k: 1e9 for k in counts}) == (
+        pytest.approx(total / 1e9))
