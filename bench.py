@@ -253,6 +253,12 @@ def main():
     # movement; halving the custom-call boundary tensor bought +9%)
     r05_bf16io, _, _ = _train_throughput(
         "model05", model_over={"likelihood_io_dtype": "bfloat16"})
+    # full production mode: bf16 conv body + bf16 boundary + batch-lanes
+    # kernel (auto-dispatched, prefer_batch_lanes) — +42% vs the f32
+    # parity default, measured (design.md §12n)
+    r05_prod, _, _ = _train_throughput(
+        "model05", compute_dtype="bfloat16",
+        model_over={"likelihood_io_dtype": "bfloat16"})
     r01, _, _ = _train_throughput("model01")
     # model04: the wide-GLU family — the positive control showing the
     # machine sustains >50% MFU when the likelihood is cheap
@@ -303,6 +309,7 @@ def main():
     out.update(rate_stats("model05_imgs_per_sec", r05))
     out.update(rate_stats("model05_bf16_imgs_per_sec", r05_bf16))
     out.update(rate_stats("model05_bf16io_imgs_per_sec", r05_bf16io))
+    out.update(rate_stats("model05_bf16_full_imgs_per_sec", r05_prod))
     out.update(rate_stats("model05_resident_imgs_per_sec", r05_res))
     out["model05_resident_mfu"] = round(
         float(np.median(r05_res)) * flops_per_img / V5E_PEAK_FLOPS, 4)

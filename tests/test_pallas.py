@@ -223,3 +223,53 @@ def test_vpu_probe_plumbing():
     total = sum(counts.values())
     assert vpu_floor_seconds(counts, {k: 1e9 for k in counts}) == (
         pytest.approx(total / 1e9))
+
+
+def test_batch_lanes_kernel_matches_standard():
+    """The batch-lanes MoDL kernel (design.md §12n: consumes the head
+    conv's natural layout, no relayout copy, no in-VMEM transpose) is
+    numerically the standard kernel: same forward values and same
+    hand-derived backward, for both the with-k and without-k shapes."""
+    import numpy as np
+
+    from vae_mdl_tpu.ops.pallas.mdl_kernel import (
+        batch_lanes_applicable,
+        mdl_log_prob,
+        mdl_log_prob_batch_lanes,
+    )
+
+    rng = np.random.default_rng(0)
+    for with_k in (True, False):
+        B, H, W, n = 4, 8, 8, 5
+        x = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32)
+        shape = (3, B, H, W, 10 * n) if with_k else (B, H, W, 10 * n)
+        p = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        assert batch_lanes_applicable(x, p)
+
+        a, b = mdl_log_prob(x, p), mdl_log_prob_batch_lanes(x, p)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)
+        ga = jax.grad(lambda pp: mdl_log_prob(x, pp).sum())(p)
+        gb = jax.grad(lambda pp: mdl_log_prob_batch_lanes(x, pp).sum())(p)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_prefer_batch_lanes_dispatch_rule():
+    """The measured dispatch rule: bf16 boundary + training shape + lane-
+    sized k*B -> batch-lanes; f32 params, exotic shapes, or eval-sized
+    lane counts stay on the standard kernel (design.md §12n A/Bs)."""
+    import numpy as np
+
+    from vae_mdl_tpu.ops.pallas.mdl_kernel import prefer_batch_lanes
+
+    x = jnp.zeros((128, 32, 32, 3), jnp.float32)
+    p16 = jnp.zeros((5, 128, 32, 32, 50), jnp.bfloat16)
+    assert prefer_batch_lanes(x, p16)                      # 640 lanes, bf16
+    assert not prefer_batch_lanes(x, p16.astype(jnp.float32))  # f32 slower
+    x_eval = jnp.zeros((100, 32, 32, 3), jnp.float32)
+    p_eval = jnp.zeros((100, 100, 32, 32, 50), jnp.bfloat16)
+    assert not prefer_batch_lanes(x_eval, p_eval)          # 10k lanes
+    # exotic broadcast shape -> not applicable
+    assert not prefer_batch_lanes(jnp.zeros((4, 4, 3)), p16)

@@ -125,8 +125,10 @@ def _dl_grads(t, loc, logscale):
     return d_loc, d_ls, d_t
 
 
-def _kernel(x_ref, p_ref, out_ref, *, n_mix):
-    """One [BP, 10n] raw parameter tile + [BP, 3] observations -> [1, BP].
+def _fwd_math(pt, xt, n):
+    """Forward mixture chain on already-oriented tiles: ``pt`` [10n, L]
+    (parameter channels on sublanes, L pixels — or (k, b) pairs in the
+    batch-lanes layout — on lanes), ``xt`` [3, L] in [-1, 1] -> [1, L].
 
     Channel layout of the tile (split_mixture_params parity,
     utils/mdl.py:94-112): ``[logits(0:n) | R: loc,ls,cf (n:4n) |
@@ -134,11 +136,7 @@ def _kernel(x_ref, p_ref, out_ref, *, n_mix):
     condition G on r, the G-group coeffs B on r, the B-group coeffs B on g
     (coeffs[...,0/1/2,:] in the jnp reference).
     """
-    n = n_mix
-    pt = p_ref[0].astype(jnp.float32).T          # [10n, BP]
-    xt = x_ref[:].astype(jnp.float32).T * 2.0 - 1.0  # [3, BP] in [-1, 1]
-
-    xr, xg, xb = xt[0:1], xt[1:2], xt[2:3]       # [1, BP]
+    xr, xg, xb = xt[0:1], xt[1:2], xt[2:3]       # [1, L]
 
     logits = pt[0:n]
     loc_r, ls_r, cf_r = pt[n:2 * n], pt[2 * n:3 * n], pt[3 * n:4 * n]
@@ -147,15 +145,15 @@ def _kernel(x_ref, p_ref, out_ref, *, n_mix):
 
     # raw-parameter transforms + channel autoregression on observed
     # sub-pixels (utils/mdl.py:94-149); the coeff tanh runs once on the
-    # stacked [3n, BP] block (2 full 8-sublane tiles instead of 3 padded
-    # [n, BP] ops at n=5)
+    # stacked [3n, L] block (2 full 8-sublane tiles instead of 3 padded
+    # [n, L] ops at n=5)
     cf = jnp.tanh(jnp.concatenate([cf_r, cf_g, cf_b], axis=0))
     loc_g = loc_g + cf[0:n] * xr
     loc_b = loc_b + cf[n:2 * n] * xr + cf[2 * n:3 * n] * xg
 
     # ONE stacked discretized-logistic cascade over all (channel, mixture)
-    # combos: [3n, BP] keeps the VPU sublane tiles ~full (15/16 at n=5)
-    # where three separate [n, BP] passes pad each to 8 sublanes (15/24).
+    # combos: [3n, L] keeps the VPU sublane tiles ~full (15/16 at n=5)
+    # where three separate [n, L] passes pad each to 8 sublanes (15/24).
     # Bit-identical elementwise math to the unstacked form.
     x_all = jnp.concatenate([
         jnp.broadcast_to(xr, (n,) + xr.shape[1:]),
@@ -165,13 +163,20 @@ def _kernel(x_ref, p_ref, out_ref, *, n_mix):
     loc_all = jnp.concatenate([loc_r, loc_g, loc_b], axis=0)
     ls_all = jnp.maximum(
         jnp.concatenate([ls_r, ls_g, ls_b], axis=0), -7.0)
-    lp_all = _dl(x_all, loc_all, ls_all)         # [3n, BP]
-    lp = lp_all[0:n] + lp_all[n:2 * n] + lp_all[2 * n:3 * n]  # [n, BP]
+    lp_all = _dl(x_all, loc_all, ls_all)         # [3n, L]
+    lp = lp_all[0:n] + lp_all[n:2 * n] + lp_all[2 * n:3 * n]  # [n, L]
 
     log_softmax = logits - jax.scipy.special.logsumexp(logits, axis=0,
                                                        keepdims=True)
     w = lp + log_softmax
-    lse = jax.scipy.special.logsumexp(w, axis=0, keepdims=True)  # [1, BP]
+    return jax.scipy.special.logsumexp(w, axis=0, keepdims=True)  # [1, L]
+
+
+def _kernel(x_ref, p_ref, out_ref, *, n_mix):
+    """One [BP, 10n] raw parameter tile + [BP, 3] observations -> [1, BP]."""
+    pt = p_ref[0].astype(jnp.float32).T          # [10n, BP]
+    xt = x_ref[:].astype(jnp.float32).T * 2.0 - 1.0  # [3, BP] in [-1, 1]
+    lse = _fwd_math(pt, xt, n_mix)
     out_ref[:] = lse.reshape(out_ref.shape)  # out block [1, 1, 1, BP]
 
 
@@ -247,9 +252,10 @@ def _forward(x01, parameters, interpret=None):
     return out.reshape(lead + (1,))
 
 
-def _bwd_kernel(x_ref, p_ref, g_ref, dp_ref, *, n_mix):
-    """One [BP, 10n] raw tile + [BP, 3] observations + [BP] cotangent
-    -> d(out)/d(raw tile), recomputing the forward chain in VMEM.
+def _bwd_math(pt, xt, gv, n):
+    """Backward mixture chain on already-oriented tiles: ``pt`` [10n, L],
+    ``xt`` [3, L] in [-1, 1], ``gv`` [1, L] cotangent -> d(out)/d(pt)
+    [10n, L], recomputing the forward chain in VMEM.
 
     With s = softmax(w) over mixes (w the weighted per-mix log-probs) and
     gw_i = g * s_i (logsumexp pullback):
@@ -261,11 +267,6 @@ def _bwd_kernel(x_ref, p_ref, g_ref, dp_ref, *, n_mix):
       d cf_b    = (gw * dL_b) * x_g * (1 - tanh(cf_b)^2)
     where (dL_c, dS_c, _) = _dl_grads per channel.
     """
-    n = n_mix
-    pt = p_ref[0].astype(jnp.float32).T              # [10n, BP]
-    xt = x_ref[:].astype(jnp.float32).T * 2.0 - 1.0  # [3, BP]
-    gv = g_ref[0, 0].astype(jnp.float32)             # [1, BP]
-
     xr, xg, xb = xt[0:1], xt[1:2], xt[2:3]
 
     logits = pt[0:n]
@@ -309,7 +310,7 @@ def _bwd_kernel(x_ref, p_ref, g_ref, dp_ref, *, n_mix):
     d_cf_g = gL_b * xr * (1.0 - cf_g * cf_g)
     d_cf_b = gL_b * xg * (1.0 - cf_b * cf_b)
 
-    dpt = jnp.concatenate(
+    return jnp.concatenate(
         [
             d_logits,
             gL_r, dS_masked[0:n], d_cf_r,
@@ -317,7 +318,16 @@ def _bwd_kernel(x_ref, p_ref, g_ref, dp_ref, *, n_mix):
             gL_b, dS_masked[2 * n:3 * n], d_cf_b,
         ],
         axis=0,
-    )  # [10n, BP]
+    )  # [10n, L]
+
+
+def _bwd_kernel(x_ref, p_ref, g_ref, dp_ref, *, n_mix):
+    """One [BP, 10n] raw tile + [BP, 3] observations + [BP] cotangent
+    -> d(out)/d(raw tile)."""
+    pt = p_ref[0].astype(jnp.float32).T              # [10n, BP]
+    xt = x_ref[:].astype(jnp.float32).T * 2.0 - 1.0  # [3, BP]
+    gv = g_ref[0, 0].astype(jnp.float32)             # [1, BP]
+    dpt = _bwd_math(pt, xt, gv, n_mix)
     dp_ref[0] = dpt.T.astype(dp_ref.dtype)
 
 
@@ -373,3 +383,169 @@ def _bwd(res, g):
 
 
 mdl_log_prob.defvjp(_fwd, _bwd)
+
+
+# --- batch-lanes layout (round 4) --------------------------------------------
+#
+# The optimized HLO showed the standard-layout kernel forces a 131 MB
+# cross-layout copy of the head conv's output (the conv's natural layout is
+# batch-in-lanes {0,3,2,1}; tpu_custom_call constrains operands to default
+# layouts) costing ~1.67 ms/step — over half the mixture cost (design.md
+# §12n). This variant consumes the tensor through the logical transpose
+# [k,B,H,W,10n] -> [H*W, 10n, k*B]: with the conv's layout that transpose IS
+# a bitcast (verified: zero big copies in the optimized HLO), so nothing is
+# relaid out, and the kernel tiles arrive channels-on-sublanes /
+# (k,b)-on-lanes — the orientation the math wants — with no in-VMEM
+# transpose either. Same elementwise math (_fwd_math/_bwd_math), so results
+# are bit-identical to the standard-layout kernel.
+
+
+def _hw_block(hw: int, bytes_per_hw: int, target: int = 8,
+              budget: int = 6 * 1024 * 1024) -> int:
+    """Largest divisor of ``hw`` <= target whose block fits the VMEM
+    budget (the eval path's L = k_chunk*B lanes can reach 10k, where a
+    train-sized hw block would blow the 16 MB scoped-vmem limit)."""
+    b = max(1, min(target, hw, budget // max(bytes_per_hw, 1)))
+    while b > 1 and hw % b:
+        b -= 1
+    return int(b)
+
+
+def batch_lanes_applicable(x01: jax.Array, parameters: jax.Array) -> bool:
+    """True for the training/eval shapes: x ``[B,H,W,3]``, parameters
+    ``[k,B,H,W,10n]`` (or without the leading sample axis)."""
+    if jnp.ndim(x01) != 4 or x01.shape[-1] != 3:
+        return False
+    if parameters.ndim == 5:
+        return parameters.shape[1:-1] == x01.shape[:-1]
+    return parameters.ndim == 4 and parameters.shape[:-1] == x01.shape[:-1]
+
+
+def _kernel_bl(x_ref, p_ref, out_ref, *, n_mix, hwb):
+    for i in range(hwb):
+        pt = p_ref[i].astype(jnp.float32)             # [10n, L]
+        xt = x_ref[i].astype(jnp.float32) * 2.0 - 1.0  # [3, L]
+        out_ref[i] = _fwd_math(pt, xt, n_mix)
+
+
+def _bwd_kernel_bl(x_ref, p_ref, g_ref, dp_ref, *, n_mix, hwb):
+    for i in range(hwb):
+        pt = p_ref[i].astype(jnp.float32)
+        xt = x_ref[i].astype(jnp.float32) * 2.0 - 1.0
+        gv = g_ref[i].astype(jnp.float32)             # [1, L]
+        dp_ref[i] = _bwd_math(pt, xt, gv, n_mix).astype(dp_ref.dtype)
+
+
+def _bl_operands(x01, parameters):
+    p5 = parameters if parameters.ndim == 5 else parameters[None]
+    k = p5.shape[0]
+    B, H, W, _ = x01.shape
+    C = p5.shape[-1]
+    L = k * B
+    # the transpose that is a layout BITCAST against the conv's
+    # batch-in-lanes output (no data movement)
+    p_t = p5.transpose(2, 3, 4, 0, 1).reshape(H * W, C, L)
+    x_t = x01.transpose(1, 2, 3, 0)                   # [H, W, 3, B]
+    x_t = jnp.broadcast_to(x_t[:, :, :, None, :], (H, W, 3, k, B))
+    x_t = x_t.reshape(H * W, 3, L)
+    return p_t, x_t, k, B, H, W, C, L
+
+
+def _forward_bl(x01, parameters, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_mix = parameters.shape[-1] // 10
+    p_t, x_t, k, B, H, W, C, L = _bl_operands(x01, parameters)
+    hwb = _hw_block(H * W, (C + 4) * L * 4)
+    out = pl.pallas_call(
+        functools.partial(_kernel_bl, n_mix=n_mix, hwb=hwb),
+        out_shape=jax.ShapeDtypeStruct((H * W, 1, L), jnp.float32),
+        grid=(H * W // hwb,),
+        in_specs=[
+            pl.BlockSpec((hwb, 3, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwb, C, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((hwb, 1, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_t, p_t)
+    lp = out.reshape(H, W, k, B).transpose(2, 3, 0, 1)[..., None]
+    return lp if parameters.ndim == 5 else lp[0]
+
+
+def _backward_params_bl(x01, parameters, g, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_mix = parameters.shape[-1] // 10
+    p_t, x_t, k, B, H, W, C, L = _bl_operands(x01, parameters)
+    g5 = g if parameters.ndim == 5 else g[None]       # [k,B,H,W,1]
+    g_t = g5.transpose(2, 3, 4, 0, 1).reshape(H * W, 1, L)
+    hwb = _hw_block(H * W, (2 * C + 4) * L * 4)
+    dp = pl.pallas_call(
+        functools.partial(_bwd_kernel_bl, n_mix=n_mix, hwb=hwb),
+        out_shape=jax.ShapeDtypeStruct((H * W, C, L), jnp.float32),
+        grid=(H * W // hwb,),
+        in_specs=[
+            pl.BlockSpec((hwb, 3, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwb, C, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwb, 1, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((hwb, C, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_t, p_t, g_t)
+    dp = dp.reshape(H, W, C, k, B).transpose(3, 4, 0, 1, 2)
+    dp = dp.astype(parameters.dtype)
+    return dp if parameters.ndim == 5 else dp[0]
+
+
+@jax.custom_vjp
+def mdl_log_prob_batch_lanes(x01: jax.Array, parameters: jax.Array) -> jax.Array:
+    """Batch-lanes-layout MoDL log-prob — bit-identical results to
+    ``mdl_log_prob``, zero relayout copies at the custom-call boundary.
+    Requires the training/eval operand shapes (``batch_lanes_applicable``)."""
+    return _forward_bl(x01, parameters)
+
+
+def _fwd_bl(x01, parameters):
+    return _forward_bl(x01, parameters), (x01, parameters)
+
+
+def _bwd_bl(res, g):
+    x01, parameters = res
+    d_params = _backward_params_bl(x01, parameters, g)
+    # x cotangent via the jnp reference: dead code in training (x is data)
+    _, x_vjp = jax.vjp(lambda x: mixture_log_prob(x, parameters), x01)
+    (d_x01,) = x_vjp(g)
+    return d_x01, d_params
+
+
+mdl_log_prob_batch_lanes.defvjp(_fwd_bl, _bwd_bl)
+
+
+def prefer_batch_lanes(x01: jax.Array, parameters: jax.Array,
+                       max_lanes: int = 1024) -> bool:
+    """Measured dispatch rule (design.md §12n, same-session A/B):
+
+    - bf16 boundary + batch-lanes: 28.1k imgs/s train (f32 body) / 30.4k
+      (bf16 body) vs 24.7k/24.2k for the standard kernel — the win;
+    - f32 + batch-lanes: 20.2k vs 22.5k standard — SLOWER (without the
+      convert, the layout transpose does not fold away), so f32 keeps the
+      standard kernel;
+    - eval-shaped operands (L = k_chunk*B = 10k lanes): 61.9 vs 86.1
+      imgs/s — the huge lane count forces 1-2-row blocks and a 123 MB x
+      broadcast, so large L keeps the standard kernel.
+
+    Hence: batch-lanes iff the boundary is bf16, the operands have the
+    training shape, and k*B is lane-sized (<= max_lanes; measured at 640)."""
+    if parameters.dtype != jnp.bfloat16:
+        return False
+    if not batch_lanes_applicable(x01, parameters):
+        return False
+    k = parameters.shape[0] if parameters.ndim == 5 else 1
+    return k * x01.shape[0] <= max_lanes
