@@ -201,6 +201,27 @@ def test_cli_parity_rehearsal_synthetic(tmp_path, monkeypatch, capsys):
         assert key in rep, key
 
 
+def test_parity_report_json_is_strict_rfc():
+    """Non-finite floats (khat_mean is NaN when no tails are fittable)
+    serialize as null, never as Python's bare `NaN` token that breaks
+    jq/strict parsers gating on parity.json (ADVICE r4)."""
+    import json
+    import math
+
+    from vae_mdl_tpu.cli.run import _json_finite
+
+    report = {"llh": -85.0, "khat_mean": float("nan"),
+              "nested": {"climb": float("inf"), "vals": [1.0, float("-inf")]},
+              "status": "PASS"}
+    text = json.dumps(_json_finite(report))
+    assert "NaN" not in text and "Infinity" not in text
+    back = json.loads(text)
+    assert back["khat_mean"] is None
+    assert back["nested"]["climb"] is None
+    assert back["nested"]["vals"] == [1.0, None]
+    assert back["llh"] == -85.0 and math.isfinite(back["llh"])
+
+
 def test_cli_parity_refuses_synthetic_and_missing_data(tmp_path, monkeypatch):
     """Without --allow-synthetic the command refuses synthetic datasets,
     and with real datasets it verifies the files up front, naming the

@@ -240,3 +240,23 @@ def test_likelihood_io_dtype_quantizes_boundary_only():
     lpk = pxzk.dist.log_prob(x)
     np.testing.assert_allclose(np.asarray(lpk), np.asarray(lp16),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_likelihood_io_dtype_validated_at_config_time():
+    """A typo'd dtype or a non-mdl likelihood raises at ModelConfig
+    construction, not as an opaque astype error deep in the decoder
+    (ADVICE r4)."""
+    import dataclasses
+
+    import pytest
+
+    from vae_mdl_tpu.models.zoo import experiment
+
+    base = experiment("model05").model
+    with pytest.raises(ValueError, match="likelihood_io_dtype"):
+        dataclasses.replace(base, likelihood_io_dtype="bfloat61")
+    with pytest.raises(ValueError, match="mdl"):
+        dataclasses.replace(experiment("model01").model,
+                            likelihood_io_dtype="bfloat16")
+    # valid value still constructs
+    dataclasses.replace(base, likelihood_io_dtype="bfloat16")

@@ -273,3 +273,34 @@ def test_prefer_batch_lanes_dispatch_rule():
     assert not prefer_batch_lanes(x_eval, p_eval)          # 10k lanes
     # exotic broadcast shape -> not applicable
     assert not prefer_batch_lanes(jnp.zeros((4, 4, 3)), p16)
+    # ragged lane count (ADVICE r4): B=100, k=5 -> L=500 is not a multiple
+    # of the 128-lane width — untested Mosaic tile geometry, keep standard
+    x_odd = jnp.zeros((100, 32, 32, 3), jnp.float32)
+    p_odd = jnp.zeros((5, 100, 32, 32, 50), jnp.bfloat16)
+    assert not prefer_batch_lanes(x_odd, p_odd)
+
+
+def test_bwd_x_cotangent_stays_f32_for_bf16_boundary():
+    """d/dx through both custom-vjp kernels upcasts a bf16 parameter
+    tensor before the jnp recompute: the likelihood math — including the
+    x cotangent — runs float32 regardless of the boundary dtype (the
+    contract mixture.log_prob enforces on the jnp path; ADVICE r4)."""
+    import numpy as np
+
+    from vae_mdl_tpu.distributions.mixture import mixture_log_prob
+    from vae_mdl_tpu.ops.pallas.mdl_kernel import (
+        mdl_log_prob,
+        mdl_log_prob_batch_lanes,
+    )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (2, 8, 8, 3)), jnp.float32)
+    p16 = jnp.asarray(rng.standard_normal((3, 2, 8, 8, 30)),
+                      jnp.float32).astype(jnp.bfloat16)
+    # the f32 ground truth: jnp reference on the upcast parameters
+    gx_ref = jax.grad(
+        lambda xx: mixture_log_prob(xx, p16.astype(jnp.float32)).sum())(x)
+    for fn in (mdl_log_prob, mdl_log_prob_batch_lanes):
+        gx = jax.grad(lambda xx: fn(xx, p16).sum())(x)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                                   rtol=1e-6, atol=0)

@@ -32,6 +32,18 @@ import os
 from typing import Optional
 
 
+def _json_finite(obj):
+    """Recursively map non-finite floats (NaN/±inf) to None so json.dump
+    emits strict RFC 8259 JSON (`null`), not Python's bare `NaN` token."""
+    if isinstance(obj, float):
+        return obj if math.isfinite(obj) else None
+    if isinstance(obj, dict):
+        return {k: _json_finite(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_finite(v) for v in obj]
+    return obj
+
+
 def _replace_model_field(model_cfg, field: str, value, flag: str):
     """dataclasses.replace that names the flag and config family instead of
     surfacing a raw TypeError when the field does not exist — the model-
@@ -634,7 +646,11 @@ def cmd_parity(args) -> None:
         cfg.train.checkpoint_dir, name, "parity.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
-        _json.dump(report, f, indent=2)
+        # strict RFC JSON: khat_mean can be NaN (no fittable tails) and
+        # json.dump would emit a bare `NaN` token that breaks jq/non-Python
+        # consumers gating on this report — map non-finite floats to null
+        # (ADVICE r4)
+        _json.dump(_json_finite(report), f, indent=2)
     print(f"[parity] {verdict}")
     print(f"[parity] report: {path}")
     if report["status"] == "FAIL" and not report["synthetic_rehearsal"]:

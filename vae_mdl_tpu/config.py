@@ -101,6 +101,26 @@ class ModelConfig:
     # beta_warmup_steps and the active-units diagnostic.
     free_bits: float = 0.0
 
+    def __post_init__(self):
+        # validate likelihood_io_dtype at CONFIG time: the value reaches
+        # jnp.astype deep inside the decoder head (nn/decoders.py
+        # make_observation), where a typo'd dtype string surfaces as an
+        # opaque trace error; and only the mdl boundary tensor is quantized
+        # — any other likelihood would silently ignore the setting
+        # (ADVICE r4).
+        if self.likelihood_io_dtype is not None:
+            if self.likelihood_io_dtype not in ("bfloat16", "float32", "float16"):
+                raise ValueError(
+                    "likelihood_io_dtype must be one of 'bfloat16', "
+                    "'float32', 'float16' or None; got "
+                    f"{self.likelihood_io_dtype!r}")
+            if self.likelihood != "mdl":
+                raise ValueError(
+                    "likelihood_io_dtype only applies to the 'mdl' "
+                    "likelihood (it quantizes the MoDL head->kernel "
+                    f"boundary tensor); likelihood={self.likelihood!r} "
+                    "would silently ignore it")
+
     def latents(self) -> Tuple[int, ...]:
         return self.latent_sizes or (self.n_latent,) * self.n_stochastic
 

@@ -371,13 +371,22 @@ def _bwd(res, g):
     common = (parameters.shape[:-1] == lead
               and xlead == lead[len(lead) - len(xlead):])
     if not common:  # exotic broadcast: fall back to the jnp reference vjp
-        _, vjp = jax.vjp(mixture_log_prob, x01, parameters)
+        # (through the f32 upcast the jnp log_prob path applies, so the
+        # math runs float32 even for a bf16 boundary; the d_params
+        # cotangent comes back in parameters.dtype via the astype pullback)
+        _, vjp = jax.vjp(
+            lambda x, p: mixture_log_prob(x, p.astype(jnp.float32)),
+            x01, parameters)
         return vjp(g)
 
     d_params = _backward_params(x01, parameters, g)
     # x cotangent via the jnp reference: x01 is observed data in every
     # training path, so this recompute is unused there and XLA removes it.
-    _, x_vjp = jax.vjp(lambda x: mixture_log_prob(x, parameters), x01)
+    # Upcast quantized (bf16-boundary) parameters first: likelihood math —
+    # including d/dx — stays float32 (the contract the jnp fallback
+    # enforces, distributions/mixture.py log_prob; ADVICE r4).
+    _, x_vjp = jax.vjp(
+        lambda x: mixture_log_prob(x, parameters.astype(jnp.float32)), x01)
     (d_x01,) = x_vjp(g)
     return d_x01, d_params
 
@@ -519,8 +528,10 @@ def _fwd_bl(x01, parameters):
 def _bwd_bl(res, g):
     x01, parameters = res
     d_params = _backward_params_bl(x01, parameters, g)
-    # x cotangent via the jnp reference: dead code in training (x is data)
-    _, x_vjp = jax.vjp(lambda x: mixture_log_prob(x, parameters), x01)
+    # x cotangent via the jnp reference: dead code in training (x is data).
+    # f32 upcast as in _bwd: d/dx math never runs in bf16 (ADVICE r4).
+    _, x_vjp = jax.vjp(
+        lambda x: mixture_log_prob(x, parameters.astype(jnp.float32)), x01)
     (d_x01,) = x_vjp(g)
     return d_x01, d_params
 
@@ -542,10 +553,17 @@ def prefer_batch_lanes(x01: jax.Array, parameters: jax.Array,
       broadcast, so large L keeps the standard kernel.
 
     Hence: batch-lanes iff the boundary is bf16, the operands have the
-    training shape, and k*B is lane-sized (<= max_lanes; measured at 640)."""
+    training shape, and k*B is lane-sized (<= max_lanes; measured at 640).
+
+    L = k*B must also be a multiple of 128 (the lane width): the measured
+    geometries are full-lane tiles, and a ragged lane count (e.g.
+    batch 100, k=5 -> L=500) would hand Mosaic an untested padded tile
+    shape — those shapes keep the standard kernel, whose pixel-axis
+    blocking is always 128-divisible (ADVICE r4)."""
     if parameters.dtype != jnp.bfloat16:
         return False
     if not batch_lanes_applicable(x01, parameters):
         return False
     k = parameters.shape[0] if parameters.ndim == 5 else 1
-    return k * x01.shape[0] <= max_lanes
+    lanes = k * x01.shape[0]
+    return lanes % 128 == 0 and lanes <= max_lanes
