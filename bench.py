@@ -37,6 +37,7 @@ def setup_scanned_step(name: str, spc: int = 10,
                        compute_dtype: str | None = "float32",
                        model_over: dict | None = None,
                        train_over: dict | None = None,
+                       data_over: dict | None = None,
                        donate: bool = True):
     """-> (train_step, state, batch, cfg, flops_per_step) for a zoo entry's
     scanned train step on synthetic data — the ONE timing-harness setup,
@@ -64,7 +65,8 @@ def setup_scanned_step(name: str, spc: int = 10,
     train_cfg = cfg.train
     if train_over:
         train_cfg = dataclasses.replace(train_cfg, **train_over)
-    cfg = dataclasses.replace(cfg, data=DataConfig(dataset=ds),
+    data_cfg = DataConfig(dataset=ds, **(data_over or {}))
+    cfg = dataclasses.replace(cfg, data=data_cfg,
                               model=model_cfg, train=train_cfg)
     batch_size = cfg.data.batch_size  # 128, reference parity
     model = build_model(cfg.model)
@@ -164,7 +166,8 @@ def _resident_throughput(name: str = "model05", spc: int = 20,
 
     cfg = experiment(name)
     shape = cfg.model.image_shape
-    cfg = dataclasses.replace(cfg, data=DataConfig(dataset="synthetic:svhn_cropped"))
+    ds = "synthetic:mnist" if shape[2] == 1 else "synthetic:svhn_cropped"
+    cfg = dataclasses.replace(cfg, data=DataConfig(dataset=ds))
     batch_size = cfg.data.batch_size
     model = build_model(cfg.model)
     tx = make_optimizer(cfg.train)

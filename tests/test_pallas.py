@@ -280,6 +280,80 @@ def test_prefer_batch_lanes_dispatch_rule():
     assert not prefer_batch_lanes(x_odd, p_odd)
 
 
+def test_f32_split_batch_lanes_is_bit_exact():
+    """The exact-f32 batch-lanes route (u16 hi/lo bit-split, round 5):
+    the u16 round-trip reconstructs every f32 bit pattern exactly —
+    including NaN/inf/denormals — and the kernel's forward/backward are
+    bit-equal to the plain batch-lanes kernel on f32 operands."""
+    import numpy as np
+
+    from vae_mdl_tpu.ops.pallas.mdl_kernel import (
+        _join_u16,
+        _split_f32_u16,
+        mdl_log_prob_batch_lanes,
+        mdl_log_prob_batch_lanes_f32,
+    )
+
+    # bit-pattern round trip on pathological values
+    special = jnp.asarray([0.0, -0.0, 1.0, -1.5, jnp.inf, -jnp.inf,
+                           jnp.nan, 1e-40, -1e-40, 3.4e38, 1.1754944e-38],
+                          jnp.float32)
+    rt = _join_u16(*_split_f32_u16(special))
+    np.testing.assert_array_equal(
+        np.asarray(special).view(np.uint32), np.asarray(rt).view(np.uint32))
+
+    rng = np.random.default_rng(11)
+    B, H, W, n = 4, 8, 8, 5
+    x = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32)
+    p = jnp.asarray(rng.standard_normal((3, B, H, W, 10 * n)), jnp.float32)
+
+    a = mdl_log_prob_batch_lanes(x, p)
+    b = mdl_log_prob_batch_lanes_f32(x, p)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ga = jax.grad(lambda pp: mdl_log_prob_batch_lanes(x, pp).sum())(p)
+    gb = jax.grad(lambda pp: mdl_log_prob_batch_lanes_f32(x, pp).sum())(p)
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
+def test_lane_tiled_kernel_matches_batch_lanes():
+    """The k-grid lane-tiled variant (eval regime, round 5) matches the
+    whole-L batch-lanes kernel to float roundoff: same math bodies, the
+    lane axis merely arrives in [*, B] tiles with the x broadcast
+    expressed through the grid. (Not asserted bit-equal: even identical
+    elementwise chains round differently across block geometries once the
+    compiler fuses them — measured on CPU interpret, where _forward_bl's
+    own output moves ~3e-4 between hwb=8 and hwb=16.)"""
+    import numpy as np
+
+    from vae_mdl_tpu.ops.pallas.mdl_kernel import (
+        mdl_log_prob_batch_lanes,
+        mdl_log_prob_lane_tiled,
+    )
+
+    rng = np.random.default_rng(12)
+    B, H, W, n, k = 128, 4, 4, 3, 3  # B % 128 == 0, the variant's contract
+    x = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32)
+    for shape in ((k, B, H, W, 10 * n), (B, H, W, 10 * n)):
+        p = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        a = mdl_log_prob_batch_lanes(x, p)
+        b = mdl_log_prob_lane_tiled(x, p)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)
+        ga = jax.grad(lambda pp: mdl_log_prob_batch_lanes(x, pp).sum())(p)
+        gb = jax.grad(lambda pp: mdl_log_prob_lane_tiled(x, pp).sum())(p)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-5, atol=1e-5)
+    # bf16 boundary operands take the same path the eval production
+    # config uses
+    p16 = jnp.asarray(rng.standard_normal((k, B, H, W, 10 * n)),
+                      jnp.float32).astype(jnp.bfloat16)
+    a16 = mdl_log_prob_batch_lanes(x, p16)
+    b16 = mdl_log_prob_lane_tiled(x, p16)
+    np.testing.assert_allclose(np.asarray(a16), np.asarray(b16),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_bwd_x_cotangent_stays_f32_for_bf16_boundary():
     """d/dx through both custom-vjp kernels upcasts a bf16 parameter
     tensor before the jnp recompute: the likelihood math — including the

@@ -539,6 +539,277 @@ def _bwd_bl(res, g):
 mdl_log_prob_batch_lanes.defvjp(_fwd_bl, _bwd_bl)
 
 
+# --- exact-f32 batch-lanes route: u16 hi/lo bit-split (round 5) -------------
+#
+# §12n measured the plain f32 batch-lanes path SLOWER (20.2k vs 22.5k):
+# without a narrowing convert between the head conv and the kernel, the
+# [k,B,H,W,10n] -> [H*W, 10n, k*B] transpose cannot fold into a layout
+# bitcast, and XLA re-inserts the 1.67 ms relayout copy. The bf16 boundary
+# fixed that but trades exactness (boundary values quantize to bf16).
+#
+# This route keeps EXACT f32 values and still hands XLA narrowing ops to
+# fold the relayout into: bitcast the f32 tensor to u32 and split it into
+# two u16 halves (hi = top 16 bits, lo = bottom 16). The two shift/mask/
+# convert chains are elementwise narrowing ops — the same shape XLA folded
+# the f32->bf16 convert into — and the kernel reconstructs the exact f32
+# bit pattern in-register ((hi << 16) | lo). Reconstruction is pure bit
+# movement: every value, including NaN/inf/denormals, round-trips
+# bit-identically, so results are bit-equal to the standard f32 kernel
+# (pinned in tests/test_pallas.py). Boundary traffic equals f32 (2 x 2
+# bytes), but the layout copy is gone.
+
+
+def _split_f32_u16(p: jax.Array):
+    """f32 -> (hi, lo) uint16 halves of the bit pattern."""
+    v = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    hi = (v >> 16).astype(jnp.uint16)
+    lo = (v & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    return hi, lo
+
+
+def _join_u16(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """(hi, lo) uint16 halves -> exact f32 reconstruction."""
+    v = (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(v, jnp.float32)
+
+
+def _kernel_bl_split(x_ref, hi_ref, lo_ref, out_ref, *, n_mix, hwb):
+    for i in range(hwb):
+        pt = _join_u16(hi_ref[i], lo_ref[i])          # [10n, L] exact f32
+        xt = x_ref[i].astype(jnp.float32) * 2.0 - 1.0  # [3, L]
+        out_ref[i] = _fwd_math(pt, xt, n_mix)
+
+
+def _bwd_kernel_bl_split(x_ref, hi_ref, lo_ref, g_ref, dp_ref, *, n_mix, hwb):
+    for i in range(hwb):
+        pt = _join_u16(hi_ref[i], lo_ref[i])
+        xt = x_ref[i].astype(jnp.float32) * 2.0 - 1.0
+        gv = g_ref[i].astype(jnp.float32)
+        dp_ref[i] = _bwd_math(pt, xt, gv, n_mix)
+
+
+def _bl_split_operands(x01, parameters):
+    p5 = parameters if parameters.ndim == 5 else parameters[None]
+    k = p5.shape[0]
+    B, H, W, _ = x01.shape
+    C = p5.shape[-1]
+    L = k * B
+    # split FIRST (narrowing ops read the conv's own layout), then apply the
+    # bitcastable transpose to each 16-bit half
+    hi, lo = _split_f32_u16(p5)
+    hi_t = hi.transpose(2, 3, 4, 0, 1).reshape(H * W, C, L)
+    lo_t = lo.transpose(2, 3, 4, 0, 1).reshape(H * W, C, L)
+    x_t = x01.transpose(1, 2, 3, 0)
+    x_t = jnp.broadcast_to(x_t[:, :, :, None, :], (H, W, 3, k, B))
+    x_t = x_t.reshape(H * W, 3, L)
+    return hi_t, lo_t, x_t, k, B, H, W, C, L
+
+
+def _forward_bl_split(x01, parameters, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_mix = parameters.shape[-1] // 10
+    hi_t, lo_t, x_t, k, B, H, W, C, L = _bl_split_operands(x01, parameters)
+    hwb = _hw_block(H * W, (C + 4) * L * 4)
+    out = pl.pallas_call(
+        functools.partial(_kernel_bl_split, n_mix=n_mix, hwb=hwb),
+        out_shape=jax.ShapeDtypeStruct((H * W, 1, L), jnp.float32),
+        grid=(H * W // hwb,),
+        in_specs=[
+            pl.BlockSpec((hwb, 3, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwb, C, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwb, C, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((hwb, 1, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_t, hi_t, lo_t)
+    lp = out.reshape(H, W, k, B).transpose(2, 3, 0, 1)[..., None]
+    return lp if parameters.ndim == 5 else lp[0]
+
+
+def _backward_params_bl_split(x01, parameters, g, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_mix = parameters.shape[-1] // 10
+    hi_t, lo_t, x_t, k, B, H, W, C, L = _bl_split_operands(x01, parameters)
+    g5 = g if parameters.ndim == 5 else g[None]
+    g_t = g5.transpose(2, 3, 4, 0, 1).reshape(H * W, 1, L)
+    hwb = _hw_block(H * W, (2 * C + 4) * L * 4)
+    dp = pl.pallas_call(
+        functools.partial(_bwd_kernel_bl_split, n_mix=n_mix, hwb=hwb),
+        out_shape=jax.ShapeDtypeStruct((H * W, C, L), jnp.float32),
+        grid=(H * W // hwb,),
+        in_specs=[
+            pl.BlockSpec((hwb, 3, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwb, C, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwb, C, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwb, 1, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((hwb, C, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_t, hi_t, lo_t, g_t)
+    dp = dp.reshape(H, W, C, k, B).transpose(3, 4, 0, 1, 2)
+    return dp if parameters.ndim == 5 else dp[0]
+
+
+@jax.custom_vjp
+def mdl_log_prob_batch_lanes_f32(x01: jax.Array,
+                                 parameters: jax.Array) -> jax.Array:
+    """Exact-f32 batch-lanes MoDL log-prob: the parameter tensor crosses
+    the custom-call boundary as two u16 bit-halves whose narrowing
+    producers give XLA the layout-folding point the plain f32 path lacks;
+    the kernel reconstructs the exact f32 bits in-register. Bit-equal
+    results to ``mdl_log_prob`` on f32 inputs."""
+    return _forward_bl_split(x01, parameters)
+
+
+def _fwd_bl_split(x01, parameters):
+    return _forward_bl_split(x01, parameters), (x01, parameters)
+
+
+def _bwd_bl_split(res, g):
+    x01, parameters = res
+    d_params = _backward_params_bl_split(x01, parameters, g)
+    _, x_vjp = jax.vjp(
+        lambda x: mixture_log_prob(x, parameters.astype(jnp.float32)), x01)
+    (d_x01,) = x_vjp(g)
+    return d_x01, d_params
+
+
+mdl_log_prob_batch_lanes_f32.defvjp(_fwd_bl_split, _bwd_bl_split)
+
+
+# --- lane-tiled (k-grid) batch-lanes variant for the eval regime (round 5) --
+#
+# The 5000-IS evaluator's operands carry L = k_chunk*B lanes (10k+): the
+# whole-L batch-lanes kernel then degrades to 1-2-row hw blocks and
+# materialises a 123 MB x broadcast (measured slower, §12n), so eval kept
+# the standard kernel and its relayout copy. This variant tiles the LANE
+# axis by k: grid (H*W/hwb, k_chunk), parameter blocks [hwb, C, B] at lane
+# offset ik*B, and the x block's index_map ignores ik — the broadcast over
+# k is expressed through the grid (Pallas skips the re-fetch while the
+# block index is unchanged), never materialised. Requires B % 128 == 0 so
+# every lane tile is aligned.
+
+
+def _kernel_bl_kgrid(x_ref, p_ref, out_ref, *, n_mix, hwb):
+    for i in range(hwb):
+        pt = p_ref[i].astype(jnp.float32)              # [10n, B]
+        xt = x_ref[i].astype(jnp.float32) * 2.0 - 1.0  # [3, B]
+        out_ref[i] = _fwd_math(pt, xt, n_mix)
+
+
+def _bwd_kernel_bl_kgrid(x_ref, p_ref, g_ref, dp_ref, *, n_mix, hwb):
+    for i in range(hwb):
+        pt = p_ref[i].astype(jnp.float32)
+        xt = x_ref[i].astype(jnp.float32) * 2.0 - 1.0
+        gv = g_ref[i].astype(jnp.float32)
+        dp_ref[i] = _bwd_math(pt, xt, gv, n_mix).astype(dp_ref.dtype)
+
+
+def _forward_bl_kgrid(x01, parameters, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_mix = parameters.shape[-1] // 10
+    p5 = parameters if parameters.ndim == 5 else parameters[None]
+    k = p5.shape[0]
+    B, H, W, _ = x01.shape
+    C = p5.shape[-1]
+    L = k * B
+    p_t = p5.transpose(2, 3, 4, 0, 1).reshape(H * W, C, L)
+    x_t = x01.transpose(1, 2, 3, 0).reshape(H * W, 3, B)  # NO k broadcast
+    hwb = _hw_block(H * W, (C + 4) * B * 4, target=64)
+    out = pl.pallas_call(
+        functools.partial(_kernel_bl_kgrid, n_mix=n_mix, hwb=hwb),
+        out_shape=jax.ShapeDtypeStruct((H * W, 1, L), jnp.float32),
+        # ik innermost: consecutive grid steps keep the x block index
+        # unchanged, so Pallas fetches each x block once per hw tile
+        grid=(H * W // hwb, k),
+        in_specs=[
+            pl.BlockSpec((hwb, 3, B), lambda i, ik: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwb, C, B), lambda i, ik: (i, 0, ik),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((hwb, 1, B), lambda i, ik: (i, 0, ik),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_t, p_t)
+    lp = out.reshape(H, W, k, B).transpose(2, 3, 0, 1)[..., None]
+    return lp if parameters.ndim == 5 else lp[0]
+
+
+def _backward_params_bl_kgrid(x01, parameters, g, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_mix = parameters.shape[-1] // 10
+    p5 = parameters if parameters.ndim == 5 else parameters[None]
+    k = p5.shape[0]
+    B, H, W, _ = x01.shape
+    C = p5.shape[-1]
+    L = k * B
+    p_t = p5.transpose(2, 3, 4, 0, 1).reshape(H * W, C, L)
+    x_t = x01.transpose(1, 2, 3, 0).reshape(H * W, 3, B)
+    g5 = g if parameters.ndim == 5 else g[None]
+    g_t = g5.transpose(2, 3, 4, 0, 1).reshape(H * W, 1, L)
+    hwb = _hw_block(H * W, (2 * C + 4) * B * 4, target=64)
+    dp = pl.pallas_call(
+        functools.partial(_bwd_kernel_bl_kgrid, n_mix=n_mix, hwb=hwb),
+        out_shape=jax.ShapeDtypeStruct((H * W, C, L), jnp.float32),
+        grid=(H * W // hwb, k),
+        in_specs=[
+            pl.BlockSpec((hwb, 3, B), lambda i, ik: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwb, C, B), lambda i, ik: (i, 0, ik),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwb, 1, B), lambda i, ik: (i, 0, ik),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((hwb, C, B), lambda i, ik: (i, 0, ik),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_t, p_t, g_t)
+    dp = dp.reshape(H, W, C, k, B).transpose(3, 4, 0, 1, 2)
+    dp = dp.astype(parameters.dtype)
+    return dp if parameters.ndim == 5 else dp[0]
+
+
+@jax.custom_vjp
+def mdl_log_prob_lane_tiled(x01: jax.Array,
+                            parameters: jax.Array) -> jax.Array:
+    """Lane-tiled (k-grid) batch-lanes MoDL log-prob for LARGE k*B (the
+    5000-IS eval regime): parameter lane tiles of width B, x broadcast over
+    k expressed through the grid instead of materialised. Same math bodies
+    as the other kernels (equal to float roundoff across tile geometries);
+    requires ``batch_lanes_applicable`` shapes and B % 128 == 0."""
+    return _forward_bl_kgrid(x01, parameters)
+
+
+def _fwd_bl_kgrid(x01, parameters):
+    return _forward_bl_kgrid(x01, parameters), (x01, parameters)
+
+
+def _bwd_bl_kgrid(res, g):
+    x01, parameters = res
+    d_params = _backward_params_bl_kgrid(x01, parameters, g)
+    _, x_vjp = jax.vjp(
+        lambda x: mixture_log_prob(x, parameters.astype(jnp.float32)), x01)
+    (d_x01,) = x_vjp(g)
+    return d_x01, d_params
+
+
+mdl_log_prob_lane_tiled.defvjp(_fwd_bl_kgrid, _bwd_bl_kgrid)
+
+
 def prefer_batch_lanes(x01: jax.Array, parameters: jax.Array,
                        max_lanes: int = 1024) -> bool:
     """Measured dispatch rule (design.md §12n, same-session A/B):
