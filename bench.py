@@ -182,11 +182,15 @@ def _resident_throughput(name: str = "model05", spc: int = 20,
                              n_iters=n_iters)
 
 
-def _eval_throughput(batch_size: int = 100, k_chunk: int = 100,
+def _eval_throughput(batch_size: int = 128, k_chunk: int = 100,
                      n_samples: int = 5000, n_timed: int = 3) -> np.ndarray:
     """model05 5000-IS eval imgs/sec: bf16 conv body + Pallas MoDL kernel.
     Times ``n_timed`` evaluator calls (after one warmup + one discarded
-    first timed call) -> per-call imgs/sec array."""
+    first timed call) -> per-call imgs/sec array.
+
+    batch 128 (round 5): 128-aligned batches engage the lane-tiled
+    kernel on the bf16 production path (+19% vs the standard kernel at
+    this exact shape, design.md §12o) — and match evaluate_llh's default."""
     from vae_mdl_tpu.config import DataConfig
     from vae_mdl_tpu.evaluation.harness import make_batch_evaluator
     from vae_mdl_tpu.models.vae import build_model
@@ -214,7 +218,7 @@ def _eval_throughput(batch_size: int = 100, k_chunk: int = 100,
     batch = jnp.asarray(
         rng.integers(0, 256, (batch_size, 32, 32, 3), dtype=np.uint8)
     )
-    llh = evaluator(state.params, batch, jax.random.PRNGKey(0))
+    llh = evaluator(state.params, batch, jax.random.PRNGKey(0))  # noqa: F841
     float(llh[0])  # value fetch = the only reliable sync on this relay
     rates = []
     for r in range(1 + n_timed):  # first timed call discarded
@@ -262,7 +266,11 @@ def main():
     r05_prod, _, _ = _train_throughput(
         "model05", compute_dtype="bfloat16",
         model_over={"likelihood_io_dtype": "bfloat16"})
-    r01, _, _ = _train_throughput("model01")
+    # spc=100: at MLP speeds a 10-step scan is ~6 ms/dispatch — the same
+    # order as the relay's per-dispatch jitter, which is what made
+    # BENCH_r04's model01 metric read 70k +- 27k (sd 39% of median).
+    # 100-step scans amortise it: 943k median, sd ~3% (design.md §12o).
+    r01, _, _ = _train_throughput("model01", spc=100)
     # model04: the wide-GLU family — the positive control showing the
     # machine sustains >50% MFU when the likelihood is cheap
     # (docs/design.md §12b); its MFU contextualises model05's plateau.
@@ -328,6 +336,18 @@ def main():
         out["model05_vpu_bound_frac"] = round(frac, 4)
     out.update(rate_stats("biladder_celeba64_imgs_per_sec", r_bl))
     out["biladder_celeba64_mfu"] = round(bl_mfu, 4)
+
+    # END-OF-RUN DRIFT SENTINEL (round 5): re-measure the first metric's
+    # config after everything else ran. BENCH_r04's bf16 metrics sat ~5
+    # sigma below the committed same-session A/Bs while its f32 ones
+    # matched — cross-session/driver-environment drift the per-metric sd
+    # cannot see. If the recheck moves >5% off the opening measurement,
+    # the whole capture is flagged: read every metric against that.
+    r05_re, _, _ = _train_throughput("model05", n_repeats=4)
+    out.update(rate_stats("model05_f32_recheck_imgs_per_sec", r05_re))
+    drift = abs(float(np.median(r05_re)) - imgs05) / imgs05
+    out["session_drift_frac"] = round(drift, 4)
+    out["session_stable"] = bool(drift <= 0.05)
     print(json.dumps(out))
 
 

@@ -54,6 +54,53 @@ def test_posterior_sees_data_and_context():
     assert not np.allclose(np.asarray(Qs1[0].dist.loc), np.asarray(Qs2[0].dist.loc))
 
 
+def test_split_merge_is_the_same_linear_map():
+    """split_merge=True (conv_h(h) + conv_d(d)) computes the same posterior
+    as the fused conv over concat([h, d]) when its two kernels are the
+    channel-slices of the fused kernel: same locs/scales to float roundoff,
+    same loss. (The h-half just loses its redundant importance-sample axis
+    — the round-5 biladder throughput lever, design.md §12o.)"""
+    cfg = _small()
+    fused = build_model(cfg)
+    split = build_model(dataclasses.replace(cfg, split_merge=True))
+    x = jax.random.uniform(jax.random.PRNGKey(9), (B, 32, 32, 3))
+    init_rngs = {"params": jax.random.PRNGKey(0),
+                 "sample": jax.random.PRNGKey(1)}
+    pf = fused.init(init_rngs, x, 1)
+    ps = split.init(init_rngs, x, 1)
+
+    # assemble the split params from the fused conv's channel slices
+    ps = jax.tree_util.tree_map(lambda a: a, ps)  # mutable copy via dicts
+    import flax
+
+    ps = flax.core.unfreeze(ps) if hasattr(flax.core, "unfreeze") else ps
+    for name in ("q_0",):
+        fk = pf["params"][name]["Conv_0"]["kernel"]  # [3,3,Ch+Cd,2c]
+        fb = pf["params"][name]["Conv_0"]["bias"]
+        ch = ps["params"][name]["conv_h"]["kernel"].shape[2]
+        ps["params"][name]["conv_h"]["kernel"] = fk[:, :, :ch, :]
+        ps["params"][name]["conv_d"]["kernel"] = fk[:, :, ch:, :]
+        ps["params"][name]["conv_d"]["bias"] = fb
+    # every other module shares its tree between the two configs
+    for name in pf["params"]:
+        if name not in ("q_0",):
+            ps["params"][name] = pf["params"][name]
+
+    r = {"sample": jax.random.PRNGKey(2)}
+    Qf, Pf, pxf = fused.apply(pf, x, K, rngs=r)
+    Qs, Ps_, pxs = split.apply(ps, x, K, rngs=r)
+    np.testing.assert_allclose(np.asarray(Qs[0].dist.loc),
+                               np.asarray(Qf[0].dist.loc),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Qs[0].dist.scale),
+                               np.asarray(Qf[0].dist.scale),
+                               rtol=1e-5, atol=1e-5)
+    prior = prior_for(cfg)
+    lf, _ = compute_loss(prior, Qf, Pf, pxf, x)
+    ls, _ = compute_loss(prior, Qs, Ps_, pxs, x)
+    np.testing.assert_allclose(float(ls), float(lf), rtol=1e-5)
+
+
 def test_generate_and_training_step():
     cfg = _small()
     model = build_model(cfg)

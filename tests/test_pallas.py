@@ -278,6 +278,26 @@ def test_prefer_batch_lanes_dispatch_rule():
     x_odd = jnp.zeros((100, 32, 32, 3), jnp.float32)
     p_odd = jnp.zeros((5, 100, 32, 32, 50), jnp.bfloat16)
     assert not prefer_batch_lanes(x_odd, p_odd)
+    # round-5 sweep: batch-lanes wins through L=4096 (design.md §12o)
+    p_wide = jnp.zeros((10, 128, 32, 32, 50), jnp.bfloat16)  # L=1280
+    assert prefer_batch_lanes(jnp.zeros((128, 32, 32, 3)), p_wide)
+
+
+def test_prefer_lane_tiled_dispatch_rule():
+    """Eval-regime dispatch (round 5, §12o): lane-tiled for bf16-boundary
+    operands with 128-aligned batch beyond batch-lanes' measured range;
+    ragged batches and f32 boundaries keep the standard kernel."""
+    from vae_mdl_tpu.ops.pallas.mdl_kernel import prefer_lane_tiled
+
+    x128 = jnp.zeros((128, 32, 32, 3), jnp.float32)
+    p_eval = jnp.zeros((100, 128, 32, 32, 50), jnp.bfloat16)  # L=12800
+    assert prefer_lane_tiled(x128, p_eval)
+    assert not prefer_lane_tiled(x128, p_eval.astype(jnp.float32))
+    x100 = jnp.zeros((100, 32, 32, 3), jnp.float32)
+    p100 = jnp.zeros((100, 100, 32, 32, 50), jnp.bfloat16)
+    assert not prefer_lane_tiled(x100, p100)   # B % 128 != 0
+    p_small = jnp.zeros((5, 128, 32, 32, 50), jnp.bfloat16)  # L=640
+    assert not prefer_lane_tiled(x128, p_small)  # batch-lanes regime
 
 
 def test_f32_split_batch_lanes_is_bit_exact():

@@ -124,16 +124,23 @@ class MixtureDiscretizedLogistic(Distribution):
             from vae_mdl_tpu.ops.pallas.mdl_kernel import (
                 mdl_log_prob,
                 mdl_log_prob_batch_lanes,
+                mdl_log_prob_lane_tiled,
                 prefer_batch_lanes,
+                prefer_lane_tiled,
             )
 
-            # bf16-boundary training shapes take the batch-lanes layout
-            # (no relayout copy at the custom-call boundary, no in-VMEM
-            # transpose; +24-34% measured, design.md §12n); everything
-            # else keeps the standard kernel (measured dispatch rule in
-            # prefer_batch_lanes)
+            # bf16-boundary shapes take a batch-lanes layout (no relayout
+            # copy at the custom-call boundary, no in-VMEM transpose;
+            # design.md §12n/§12o): whole-L blocks for training-sized
+            # k*B (+9..+42% across the swept range), k-grid lane tiles
+            # for the eval regime's huge k*B (+19% at k_chunk=100,
+            # B=128). Everything else — f32 boundaries, ragged lane
+            # counts — keeps the standard kernel (measured rules in
+            # prefer_batch_lanes / prefer_lane_tiled).
             if prefer_batch_lanes(x, self.parameters):
                 return mdl_log_prob_batch_lanes(x, self.parameters)
+            if prefer_lane_tiled(x, self.parameters):
+                return mdl_log_prob_lane_tiled(x, self.parameters)
             return mdl_log_prob(x, self.parameters)
         # likelihood math stays float32 even when the boundary tensor is
         # quantized (config.likelihood_io_dtype): the upcast fuses into the

@@ -61,6 +61,16 @@ class BiLadderConfig:
     # families (no reference checkpoint to stay bit-exact against) and the
     # exact erf gelu costs them ~34% throughput (docs/design.md §12h)
     activation: str = "gelu_tanh"
+    # split each merge head's conv over concat([h, d]) into
+    # conv_h(h) + conv_d(d): algebraically the same linear map (a conv over
+    # a channel concat IS the sum of convs over the parts), but h carries no
+    # importance-sample axis — its half runs ONCE per batch instead of k
+    # times, the [k,B,H,W,Ch+Cd] concat never materialises, and the
+    # backward's weight-gradient conv for the h half contracts over B
+    # instead of k*B. Values match to float roundoff (summation order
+    # changes); parameter tree differs (conv_h/conv_d vs one fused conv),
+    # so flipping this breaks checkpoint compatibility within the family.
+    split_merge: bool = False
 
     @property
     def n_stochastic(self) -> int:
@@ -88,6 +98,31 @@ class _GaussianHead(nn.Module):
         out = nn.Conv(2 * self.channels, (3, 3), padding="SAME",
                       dtype=jnp.float32, kernel_init=_KERNEL_INIT)(
             h.astype(jnp.float32))
+        mu, logstd = jnp.split(out, 2, axis=-1)
+        return Normal(mu, jax.nn.softplus(logstd), event_axes=_SPATIAL_AXES)
+
+
+class _SplitMergeGaussianHead(nn.Module):
+    """Merge head as conv_h(h) + conv_d(d) instead of conv(concat([h, d])).
+
+    The same linear map (a conv over a channel concat is the sum of convs
+    over the parts; one bias), but the data-path half h carries no
+    importance-sample axis: conv_h runs once per batch and its output
+    broadcasts into the k-shaped sum, so the k-fold redundant h-half work
+    and the materialised [k,B,H,W,Ch+Cd] concat both disappear
+    (BiLadderConfig.split_merge). f32 by design, like _GaussianHead."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, h: jax.Array, d: jax.Array) -> Normal:
+        out_h = nn.Conv(2 * self.channels, (3, 3), padding="SAME",
+                        dtype=jnp.float32, kernel_init=_KERNEL_INIT,
+                        use_bias=False, name="conv_h")(h.astype(jnp.float32))
+        out_d = nn.Conv(2 * self.channels, (3, 3), padding="SAME",
+                        dtype=jnp.float32, kernel_init=_KERNEL_INIT,
+                        name="conv_d")(d.astype(jnp.float32))
+        out = out_h + out_d  # h [B,...] broadcasts against d's leading k
         mu, logstd = jnp.split(out, 2, axis=-1)
         return Normal(mu, jax.nn.softplus(logstd), event_axes=_SPATIAL_AXES)
 
@@ -122,7 +157,9 @@ class BiLadderVAE(nn.Module):
             ups.append(DecoderBlock(h_w, h_w, n_b, rate_above, cfg.rezero,
                                     dtype, cfg.activation, name=f"up_{i}"))
             priors.append(_GaussianHead(lat, name=f"p_{i}"))
-            merges.append(_GaussianHead(lat, name=f"q_{i}"))
+            merges.append(
+                _SplitMergeGaussianHead(lat, name=f"q_{i}")
+                if cfg.split_merge else _GaussianHead(lat, name=f"q_{i}"))
         self.up_blocks = tuple(ups)
         self.prior_heads = tuple(priors)
         self.merge_heads = tuple(merges)
@@ -162,8 +199,12 @@ class BiLadderVAE(nn.Module):
         for i in range(L - 2, -1, -1):
             d = self.up_blocks[i](z)
             p_i = self.prior_heads[i](d)
-            h_b = jnp.broadcast_to(hs[i], d.shape[:-1] + hs[i].shape[-1:])
-            q_i = self.merge_heads[i](jnp.concatenate([h_b, d], axis=-1))
+            if cfg.split_merge:
+                q_i = self.merge_heads[i](hs[i], d)
+            else:
+                h_b = jnp.broadcast_to(hs[i],
+                                       d.shape[:-1] + hs[i].shape[-1:])
+                q_i = self.merge_heads[i](jnp.concatenate([h_b, d], axis=-1))
             z = q_i.sample(self.make_rng("sample"))
             Qs.append(DistributionTuple(q_i, z, axes=_SPATIAL_AXES))
             Ps.append(DistributionTuple(p_i, None, axes=_SPATIAL_AXES))

@@ -811,20 +811,25 @@ mdl_log_prob_lane_tiled.defvjp(_fwd_bl_kgrid, _bwd_bl_kgrid)
 
 
 def prefer_batch_lanes(x01: jax.Array, parameters: jax.Array,
-                       max_lanes: int = 1024) -> bool:
-    """Measured dispatch rule (design.md §12n, same-session A/B):
+                       max_lanes: int = 4096) -> bool:
+    """Measured dispatch rule (design.md §12n/§12o, bench-harness A/Bs):
 
-    - bf16 boundary + batch-lanes: 28.1k imgs/s train (f32 body) / 30.4k
-      (bf16 body) vs 24.7k/24.2k for the standard kernel — the win;
+    - bf16 boundary + batch-lanes beats the standard kernel at EVERY
+      swept lane count (production mode, scripts/lane_threshold_sweep.py
+      + scripts/r5_kernel_probes.py, round 5):
+      L=640 +42%, 768 +14%, 896 +26%, 1024 +33%, 1280 +9%, 2048 +17%,
+      4096 +22% — so max_lanes is the edge of the measured range, not a
+      crossover (none was found below the eval regime);
     - f32 + batch-lanes: 20.2k vs 22.5k standard — SLOWER (without the
-      convert, the layout transpose does not fold away), so f32 keeps the
+      convert, the layout transpose does not fold away; the exact u16
+      bit-split route is also measured slower, §12o), so f32 keeps the
       standard kernel;
-    - eval-shaped operands (L = k_chunk*B = 10k lanes): 61.9 vs 86.1
-      imgs/s — the huge lane count forces 1-2-row blocks and a 123 MB x
-      broadcast, so large L keeps the standard kernel.
+    - whole-L blocks at eval lane counts (L = 10k+): 61.9 vs 86.1 imgs/s
+      — 1-2-row hw blocks + a 123 MB x broadcast; those shapes go to the
+      LANE-TILED kernel instead (prefer_lane_tiled) when aligned.
 
     Hence: batch-lanes iff the boundary is bf16, the operands have the
-    training shape, and k*B is lane-sized (<= max_lanes; measured at 640).
+    training shape, and k*B <= max_lanes.
 
     L = k*B must also be a multiple of 128 (the lane width): the measured
     geometries are full-lane tiles, and a ragged lane count (e.g.
@@ -838,3 +843,21 @@ def prefer_batch_lanes(x01: jax.Array, parameters: jax.Array,
     k = parameters.shape[0] if parameters.ndim == 5 else 1
     lanes = k * x01.shape[0]
     return lanes % 128 == 0 and lanes <= max_lanes
+
+
+def prefer_lane_tiled(x01: jax.Array, parameters: jax.Array,
+                      max_lanes: int = 4096) -> bool:
+    """Measured dispatch rule for the k-grid lane-tiled kernel (§12o):
+    the 5000-IS eval regime (L = k_chunk*B beyond batch-lanes' measured
+    range) with a 128-aligned batch — 102.8 vs 86.6 imgs/s (+19%) over
+    the standard kernel at B=128, k_chunk=100 (bf16 boundary production
+    eval). bf16-boundary only, like batch-lanes: the f32 transpose does
+    not fold (§12n), so f32 operands keep the standard kernel."""
+    if parameters.dtype != jnp.bfloat16:
+        return False
+    if not batch_lanes_applicable(x01, parameters):
+        return False
+    if x01.shape[0] % 128 != 0:
+        return False
+    k = parameters.shape[0] if parameters.ndim == 5 else 1
+    return k * x01.shape[0] > max_lanes
