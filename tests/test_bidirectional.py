@@ -60,7 +60,7 @@ def test_split_merge_is_the_same_linear_map():
     channel-slices of the fused kernel: same locs/scales to float roundoff,
     same loss. (The h-half just loses its redundant importance-sample axis
     — the round-5 biladder throughput lever, design.md §12o.)"""
-    cfg = _small()
+    cfg = dataclasses.replace(_small(), split_merge=False)
     fused = build_model(cfg)
     split = build_model(dataclasses.replace(cfg, split_merge=True))
     x = jax.random.uniform(jax.random.PRNGKey(9), (B, 32, 32, 3))

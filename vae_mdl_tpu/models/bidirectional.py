@@ -70,7 +70,12 @@ class BiLadderConfig:
     # instead of k*B. Values match to float roundoff (summation order
     # changes); parameter tree differs (conv_h/conv_d vs one fused conv),
     # so flipping this breaks checkpoint compatibility within the family.
-    split_merge: bool = False
+    # DEFAULT ON since round 5: +7.7% measured on the 64x64 biladder train
+    # step (1472 vs 1366 imgs/s, scripts/biladder_r5_probe.py, design.md
+    # §12o) — the family is this repo's own extension, no reference
+    # checkpoints exist; pre-r5 protocol checkpoints need
+    # split_merge=False to load.
+    split_merge: bool = True
 
     @property
     def n_stochastic(self) -> int:

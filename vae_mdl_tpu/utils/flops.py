@@ -289,7 +289,14 @@ def biladder_flops(cfg, batch: int = 1, n_samples: Optional[int] = None) -> floa
                 res[i], lat_above if b == 0 else h_w, h_w, h_w)
         # prior head p(z_i|z_{i+1}) and merge head q(z_i|x, z_{>i})
         per_sample += _conv_flops(res[i], h_w, 2 * lat, 3, 1, False)[0]
-        per_sample += _conv_flops(res[i], 2 * h_w, 2 * lat, 3, 1, False)[0]
+        if getattr(cfg, "split_merge", False):
+            # conv_h(h) runs once per image (h has no sample axis);
+            # conv_d(d) per sample (models/bidirectional.py split_merge)
+            per_sample += _conv_flops(res[i], h_w, 2 * lat, 3, 1, False)[0]
+            per_img += _conv_flops(res[i], h_w, 2 * lat, 3, 1, False)[0]
+        else:
+            per_sample += _conv_flops(res[i], 2 * h_w, 2 * lat, 3, 1,
+                                      False)[0]
     # observation decoder: obs_up from z_1 back to full res + likelihood head
     h0, lat0, n0, _r0 = stages[0]
     for b in range(n0):
