@@ -182,7 +182,7 @@ def _resident_throughput(name: str = "model05", spc: int = 20,
                              n_iters=n_iters)
 
 
-def _eval_throughput(batch_size: int = 128, k_chunk: int = 100,
+def _eval_throughput(batch_size: int = 128, k_chunk: int = 200,
                      n_samples: int = 5000, n_timed: int = 3) -> np.ndarray:
     """model05 5000-IS eval imgs/sec: bf16 conv body + Pallas MoDL kernel.
     Times ``n_timed`` evaluator calls (after one warmup + one discarded
@@ -190,7 +190,11 @@ def _eval_throughput(batch_size: int = 128, k_chunk: int = 100,
 
     batch 128 (round 5): 128-aligned batches engage the lane-tiled
     kernel on the bf16 production path (+19% vs the standard kernel at
-    this exact shape, design.md §12o) — and match evaluate_llh's default."""
+    this exact shape, design.md §12o) — and match evaluate_llh's default.
+    k_chunk 200: the r5 sweep's best point (105.2 vs 102.9 imgs/s at 100;
+    scripts/eval_kchunk_sweep.py). The HARNESS default stays 100 — it
+    must also serve the f32 parity path, whose 4-byte boundary tensor at
+    200*128 lanes doubles the HBM high-water mark for a ~2% win."""
     from vae_mdl_tpu.config import DataConfig
     from vae_mdl_tpu.evaluation.harness import make_batch_evaluator
     from vae_mdl_tpu.models.vae import build_model
